@@ -1,0 +1,107 @@
+"""SDF tree node contracts — the TPU-native replacement for the reference's
+dual Shader3D/Shader2D + CPU-evaluator architecture.
+
+In the reference, every node implements (a) GLSL codegen (glbuild/glbuild.go:25-90)
+and (b) a vectorized CPU `Evaluate` (cpu_evaluators.go). Here there is ONE
+implementation per node: a jnp `distance` function over batched points.
+`jax.jit` traces the composed tree into a single fused XLA executable — the
+role played by glbuild.Programmer's shader flattening (glbuild.go:299-396)
+is subsumed by the compiler. The structural `tree_hash` plays the role of the
+reference's shader-name hashing (AppendShaderName) as the compile-cache key.
+
+Nodes are immutable after construction. Parameters are embedded as
+compile-time constants in the trace, exactly as the reference embeds them as
+GLSL literals.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Tuple
+
+import numpy as np
+
+from ..geometry.boxes import Box
+
+
+def _param_bytes(v) -> bytes:
+    if isinstance(v, np.ndarray):
+        return v.astype(np.float32, copy=False).tobytes() + str(v.shape).encode()
+    if isinstance(v, (float, np.floating)):
+        return np.float32(v).tobytes()
+    if isinstance(v, (int, np.integer, bool)):
+        return int(v).to_bytes(8, "little", signed=True)
+    if isinstance(v, str):
+        return v.encode()
+    if isinstance(v, (tuple, list)):
+        out = b"("
+        for x in v:
+            out += _param_bytes(x) + b","
+        return out + b")"
+    raise TypeError(f"unhashable SDF parameter type {type(v)}")
+
+
+class Shader:
+    """Base for all SDF nodes (2D and 3D)."""
+
+    #: subclasses list the names of attributes that are *parameters*
+    #: (floats / int / numpy arrays) contributing to structural identity.
+    PARAMS: Tuple[str, ...] = ()
+    #: subclasses list the names of attributes holding child nodes.
+    CHILDREN: Tuple[str, ...] = ()
+
+    _tree_hash_cache: bytes | None = None
+
+    def children(self) -> Tuple["Shader", ...]:
+        return tuple(getattr(self, name) for name in self.CHILDREN)
+
+    def tree_hash(self) -> bytes:
+        """Structural hash: node type + params + child hashes.
+
+        Used as the jit-compile cache key (analog of the reference's
+        generated shader name, glbuild.go:400).
+        """
+        if self._tree_hash_cache is None:
+            h = hashlib.blake2b(digest_size=16)
+            h.update(type(self).__qualname__.encode())
+            for name in self.PARAMS:
+                h.update(name.encode())
+                h.update(_param_bytes(getattr(self, name)))
+            for c in self.children():
+                h.update(c.tree_hash())
+            self._tree_hash_cache = h.digest()
+        return self._tree_hash_cache
+
+    def visit_bfs(self) -> Iterable["Shader"]:
+        """All nodes of the tree in BFS order (root first)."""
+        queue = [self]
+        while queue:
+            n = queue.pop(0)
+            yield n
+            queue.extend(n.children())
+
+    def node_count(self) -> int:
+        return sum(1 for _ in self.visit_bfs())
+
+
+class Shader3D(Shader):
+    """A 3D signed-distance node.
+
+    distance(p) evaluates the SDF at p with shape (..., 3) returning (...,)
+    float32. Must be jnp-traceable (no data-dependent Python control flow).
+    """
+
+    def distance(self, p):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def bounds(self) -> Box:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class Shader2D(Shader):
+    """A 2D signed-distance node; distance(p) maps (..., 2) -> (...,)."""
+
+    def distance(self, p):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def bounds(self) -> Box:  # pragma: no cover - interface
+        raise NotImplementedError
