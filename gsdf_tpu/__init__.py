@@ -7,6 +7,9 @@ device-side marching cubes / dual contouring, and engineering layers
 (threads, text) compose on top.
 """
 from .core import Builder, Flags, Shader2D, Shader3D, ShapeError
+from .utils.config import enable_persistent_cache
+
+enable_persistent_cache()
 
 __version__ = "0.1.0"
 

@@ -79,11 +79,15 @@ def _classify(grid, res):
     return counts, active, jnp.sum(counts), jnp.sum(active.astype(jnp.int32))
 
 
-def _bucket(n: int, minimum: int = 1024) -> int:
+def _bucket(n: int, minimum: int = 1024, granule: int = 65536) -> int:
+    """Round n up: powers of two below `granule`, multiples of `granule`
+    above. Bounds both recompile count and padded-transfer waste."""
     b = minimum
-    while b < n:
+    while b < n and b < granule:
         b <<= 1
-    return b
+    if b >= n:
+        return b
+    return ((n + granule - 1) // granule) * granule
 
 
 @functools.partial(jax.jit, static_argnames=("size",))
@@ -165,6 +169,19 @@ def _emit(grid, cube_idx, n_active, origin, res, nx, ny):
     return tris, valid
 
 
+@functools.partial(jax.jit, static_argnames=("nx", "ny", "out_size"))
+def _emit_compact(grid, cube_idx, n_active, origin, res, nx, ny, out_size):
+    """Emit + device-side exact compaction: returns (out_size, 3, 3) float32
+    with the first `total_tris` rows holding triangles in reference order.
+    Only this compact payload crosses the device->host link."""
+    tris, valid = _emit(grid, cube_idx, n_active, origin, res, nx, ny)
+    A = tris.shape[0]
+    flat_tris = tris.reshape(A * 5, 9)
+    flat_valid = valid.reshape(A * 5)
+    (tidx,) = jnp.nonzero(flat_valid, size=out_size, fill_value=0)
+    return flat_tris[tidx].reshape(out_size, 3, 3)
+
+
 def marching_cubes_grid(grid, origin, res, device=None):
     """Run marching cubes over a device-resident corner grid.
 
@@ -184,11 +201,11 @@ def marching_cubes_grid(grid, origin, res, device=None):
 
     counts, active, total_tris, n_active = _classify(grid, res)
     n_active = int(n_active)
+    total_tris = int(total_tris)
     if n_active == 0:
         return np.empty((0, 3, 3), _f32), 0
     size = _bucket(n_active)
     idx = _active_indices(active, size)
-    tris, valid = _emit(grid, idx, n_active, origin, res, nx, ny)
-    tris = np.asarray(tris)
-    valid = np.asarray(valid)
-    return tris[valid], n_active
+    out_size = _bucket(total_tris)
+    tris = _emit_compact(grid, idx, n_active, origin, res, nx, ny, out_size)
+    return np.asarray(tris)[:total_tris], n_active

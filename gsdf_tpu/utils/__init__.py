@@ -1,0 +1,3 @@
+from .config import enable_persistent_cache
+
+__all__ = ["enable_persistent_cache"]
