@@ -1,0 +1,78 @@
+"""Headline benchmark: npt-flange at resdiv 400, SDF -> STL, warm.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <ms>, "unit": "ms", "vs_baseline": <speedup>}
+
+value        = median wall ms of SDF evaluation + marching cubes + triangle
+               fetch + binary STL encode (in-memory), after one warm-up run.
+vs_baseline  = baseline_ms / value. Baseline is the reference's best
+               SDF->STL on this part: RX 6800 GPU render 706 ms + STL write
+               371 ms = 1077 ms (reference README.md:116-117; BASELINE.md).
+               >1 means faster than the reference GPU pipeline.
+
+The warm-up run compiles (or loads from the persistent compile cache) every
+executable; steady-state production rendering is the regime the reference's
+numbers describe (its GLSL compile is likewise excluded from render ms).
+"""
+import io
+import json
+import statistics
+import sys
+import time
+
+
+def build_flange():
+    from gsdf_tpu import Builder
+    from gsdf_tpu.forge import threads
+
+    bld = Builder()
+    tlen = 18.0 / 25.4
+    internal_diameter = 1.5 / 2.0
+    flange_h = 7.0 / 25.4
+    flange_d = 60.0 / 25.4
+    npt = threads.NPT()
+    npt.set_from_nominal(1.0 / 2.0)
+    pipe = threads.nut(bld, threads.NutParams(thread=npt, style=threads.NutStyle.CIRCULAR))
+    flange = bld.new_cylinder(flange_d / 2, flange_h, flange_h / 8)
+    flange = bld.translate(flange, 0, 0, -tlen / 2)
+    union = bld.smooth_union(0.2, pipe, flange)
+    hole = bld.new_cylinder(internal_diameter / 2, 4 * flange_h, 0)
+    union = bld.difference(union, hole)
+    return bld.scale(union, 25.4)
+
+
+def main():
+    from gsdf_tpu.render.flat import FlatRenderer
+    from gsdf_tpu.render.stl import write_binary_stl
+
+    obj = build_flange()
+    res = obj.bounds().diagonal() / 400
+
+    def run():
+        t0 = time.monotonic()
+        fr = FlatRenderer(obj, res)
+        tris = fr.render()
+        buf = io.BytesIO()
+        write_binary_stl(buf, tris)
+        return (time.monotonic() - t0) * 1e3, len(tris)
+
+    # warm-up: compile or load persistent cache
+    _, ntris = run()
+    times = [run()[0] for _ in range(3)]
+    value = statistics.median(times)
+    baseline_ms = 706.0 + 371.0  # reference RX6800 render + STL write
+    print(
+        json.dumps(
+            {
+                "metric": "npt-flange resdiv400 SDF->STL warm (1 chip)",
+                "value": round(value, 1),
+                "unit": "ms",
+                "vs_baseline": round(baseline_ms / value, 2),
+                "triangles": ntris,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

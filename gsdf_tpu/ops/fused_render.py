@@ -1,0 +1,185 @@
+"""Single-dispatch fused renderer: SDF grid eval + marching cubes in ONE
+XLA executable.
+
+The phase-split pipeline (evaluate_grid -> _classify -> nonzero -> emit)
+costs a host round trip per phase; over a remote device link each dispatch
+adds latency. This module traces the whole render — position synthesis, SDF
+evaluation, cube classification, active-cube compaction, edge interpolation,
+triangle emission and exact output compaction — as one jit with static
+buffer sizes, so a render is ONE dispatch and ONE device->host transfer.
+
+Buffer sizes (active cubes / triangles) are data-dependent; the renderer
+guesses from a surface-area heuristic (or remembered sizes from the previous
+render of the same tree), checks the returned exact counts, and retries with
+larger buckets on overflow — the same grow-and-retry discipline the
+reference uses for its triangle buffers (glrender/octreerenderer.go:131).
+
+Classification avoids the 256-entry table gather over all cubes: a cube is
+active iff its corner signs are mixed (index not 0 or 255) — exactly the
+cases with a non-empty triangle table.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mc_tables import MC_EDGE_PAIRS, MC_TRI_COUNT, MC_TRI_TABLE
+from .marching_cubes import _CORNER_OFFSETS, _CUBE_DIAG_FACTOR, _MC_EPS, _bucket
+
+_f32 = np.float32
+
+_fused_cache: dict = {}
+
+
+def _compact_indices(mask_flat, size):
+    """Indices of True entries, -1 padded, via cumsum+scatter (order
+    preserving)."""
+    pos = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1
+    idx = jnp.arange(mask_flat.shape[0], dtype=jnp.int32)
+    dest = jnp.where(mask_flat, pos, size)
+    out = jnp.full((size + 1,), -1, jnp.int32)
+    out = out.at[dest].set(idx, mode="drop")
+    return out[:size]
+
+
+def build_fused_render(tree, shape, a_size: int, t_size: int, device):
+    """Compiled (origin, res) -> (tris (t_size,3,3), n_active, total_tris).
+
+    shape = (nk, nj, ni) grid planes; grid[k,j,i] with z slowest.
+    """
+    key = (tree.tree_hash(), tuple(shape), a_size, t_size, device)
+    fn = _fused_cache.get(key)
+    if fn is not None:
+        return fn
+
+    nk, nj, ni = (int(x) for x in shape)
+    nx, ny = ni - 1, nj - 1
+    A = int(a_size)
+    T = int(t_size)
+
+    def impl(origin, res):
+        iz = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 0)
+        iy = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 1)
+        ix = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 2)
+        p = jnp.stack(
+            [origin[0] + ix * res, origin[1] + iy * res, origin[2] + iz * res],
+            axis=-1,
+        )
+        grid = tree.distance(p)
+
+        c = (
+            grid[:-1, :-1, :-1],
+            grid[:-1, :-1, 1:],
+            grid[:-1, 1:, 1:],
+            grid[:-1, 1:, :-1],
+            grid[1:, :-1, :-1],
+            grid[1:, :-1, 1:],
+            grid[1:, 1:, 1:],
+            grid[1:, 1:, :-1],
+        )
+        index = jnp.zeros(c[0].shape, dtype=jnp.int32)
+        for b, v in enumerate(c):
+            index = index | (jnp.int32(v < 0.0) << b)
+        keep = jnp.abs(c[0]) <= _CUBE_DIAG_FACTOR * res
+        active = keep & (index != 0) & (index != 255)
+        n_active = jnp.sum(active.astype(jnp.int32))
+        cube_idx = _compact_indices(active.ravel(), A)
+
+        safe = jnp.maximum(cube_idx, 0)
+        ci = safe % nx
+        cj = (safe // nx) % ny
+        ck = safe // (nx * ny)
+        gflat = grid.ravel()
+        offs = jnp.asarray(_CORNER_OFFSETS)
+        gi = (
+            (ck[:, None] + offs[None, :, 2]) * (nj * ni)
+            + (cj[:, None] + offs[None, :, 1]) * ni
+            + (ci[:, None] + offs[None, :, 0])
+        )
+        v = gflat[gi]  # (A,8)
+        base = jnp.stack(
+            [
+                origin[0] + ci.astype(jnp.float32) * res,
+                origin[1] + cj.astype(jnp.float32) * res,
+                origin[2] + ck.astype(jnp.float32) * res,
+            ],
+            axis=-1,
+        )
+        pc = base[:, None, :] + offs[None, :, :].astype(jnp.float32) * res
+
+        idx8 = jnp.zeros((A,), dtype=jnp.int32)
+        for b in range(8):
+            idx8 = idx8 | (jnp.int32(v[:, b] < 0.0) << b)
+
+        pairs = jnp.asarray(MC_EDGE_PAIRS)
+        va, vb = v[:, pairs[:, 0]], v[:, pairs[:, 1]]
+        pa, pb = pc[:, pairs[:, 0], :], pc[:, pairs[:, 1], :]
+        ca_, cb_ = jnp.abs(va) < _MC_EPS, jnp.abs(vb) < _MC_EPS
+        t = jnp.where(ca_ & cb_, 0.5, (0.0 - va) / (vb - va))
+        pt = pa + t[..., None] * (pb - pa)
+        pt = jnp.where((cb_ & ~ca_)[..., None], pb, pt)
+        pt = jnp.where((ca_ & ~cb_)[..., None], pa, pt)  # (A,12,3)
+
+        table = jnp.asarray(MC_TRI_TABLE)[idx8]  # (A,5,3)
+        tcounts = jnp.asarray(MC_TRI_COUNT)[idx8]
+        flat_pt = pt.reshape(A * 12, 3)
+        gidx = (
+            jax.lax.broadcasted_iota(jnp.int32, (A, 5, 3), 0) * 12
+            + jnp.maximum(table, 0)
+        ).reshape(-1)
+        tris = flat_pt[gidx].reshape(A, 5, 3, 3)[:, :, ::-1, :]
+
+        slot = jax.lax.broadcasted_iota(jnp.int32, (A, 5), 1)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (A, 5), 0)
+        valid = (slot < tcounts[:, None]) & (rowi < n_active) & (cube_idx[:, None] >= 0)
+        total = jnp.sum(valid.astype(jnp.int32))
+        tidx = _compact_indices(valid.reshape(A * 5), T)
+        out = jnp.where(
+            (tidx >= 0)[:, None, None],
+            tris.reshape(A * 5, 3, 3)[jnp.maximum(tidx, 0)],
+            0.0,
+        )
+        return out, n_active, total
+
+    jitted = jax.jit(impl)
+
+    def fn(origin, res, _jitted=jitted, _dev=device):
+        with jax.default_device(_dev):
+            return _jitted(jax.device_put(origin, _dev), res)
+
+    _fused_cache[key] = fn
+    return fn
+
+
+def fused_render(tree, origin, res, shape, device, size_hint=None):
+    """Render in one dispatch. Returns (tris (total,3,3) np.float32,
+    n_active, (a_size, t_size) used) — pass the sizes back as size_hint on
+    the next render of the same tree for an exact-size dispatch."""
+    nk, nj, ni = (int(x) for x in shape)
+    ncubes = (nk - 1) * (nj - 1) * (ni - 1)
+    if size_hint:
+        a_size, t_size = size_hint
+    else:
+        # surface-area heuristic: active cubes scale as ncubes^(2/3)
+        est = int(12 * ncubes ** (2 / 3)) + 4096
+        a_size = _bucket(min(est, ncubes))
+        t_size = _bucket(int(a_size * 2.5))
+    origin = np.asarray(origin, _f32)
+    res = _f32(res)
+    while True:
+        fn = build_fused_render(tree, shape, a_size, t_size, device)
+        out, n_active, total = fn(jnp.asarray(origin), res)
+        n_active = int(n_active)
+        total = int(total)
+        if n_active <= a_size and total <= t_size:
+            # shrink the hint to exact buckets so steady-state renders
+            # dispatch with minimal buffers (and minimal transfer)
+            hint = (_bucket(n_active), _bucket(total))
+            return np.asarray(out)[:total], n_active, hint
+        if n_active > a_size:
+            a_size = _bucket(n_active)
+        if total > t_size:
+            t_size = _bucket(max(total, int(a_size * 2.5)))

@@ -1,0 +1,219 @@
+"""Multi-chip rendering: shard the voxel grid across a 1-D device mesh.
+
+The reference's only process-level parallelism is goroutine k-plane
+partitioning of the dense grid (glrender/flatrenderer.go:103-141). The
+TPU-native scale-out analog: shard the z (slab) axis of the corner grid over
+a `jax.sharding.Mesh`, evaluate each shard's slab locally (pure data
+parallel — zero communication, positions synthesized on device), then
+exchange a single boundary plane with the +z neighbor (ppermute over ICI)
+so each shard can classify the cubes between its planes. Compacted triangle
+payloads are all-gathered at the end — the only collective proportional to
+output size, matching SURVEY.md §2.10's design note.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.node import Shader3D
+
+_f32 = np.float32
+
+AXIS = "slab"
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (AXIS,))
+
+
+def sharded_grid_eval(tree: Shader3D, mesh: Mesh, shape, origin, res):
+    """Evaluate a (nk,nj,ni) corner grid with the k axis sharded over the
+    mesh. nk must be divisible by mesh size. Returns a global jax.Array with
+    sharding P(AXIS, None, None)."""
+    nk, nj, ni = (int(x) for x in shape)
+    n_dev = mesh.devices.size
+    if nk % n_dev != 0:
+        raise ValueError(f"slab axis {nk} not divisible by {n_dev} devices")
+    nk_local = nk // n_dev
+    origin = jnp.asarray(np.asarray(origin, _f32))
+    res = _f32(res)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(AXIS, None, None),
+    )
+    def impl(origin, res):
+        k0 = jax.lax.axis_index(AXIS) * nk_local
+        iz = jax.lax.broadcasted_iota(jnp.float32, (nk_local, nj, ni), 0) + k0
+        iy = jax.lax.broadcasted_iota(jnp.float32, (nk_local, nj, ni), 1)
+        ix = jax.lax.broadcasted_iota(jnp.float32, (nk_local, nj, ni), 2)
+        p = jnp.stack(
+            [origin[0] + ix * res, origin[1] + iy * res, origin[2] + iz * res],
+            axis=-1,
+        )
+        return tree.distance(p)
+
+    return jax.jit(impl)(origin, res)
+
+
+def sharded_render_step(tree: Shader3D, mesh: Mesh, shape, max_tris_per_shard: int):
+    """Build the full multi-chip render step: sharded grid eval + halo
+    exchange + per-shard marching cubes + all-gather of triangle payloads.
+
+    Returns a jitted fn (origin, res) -> (tris (n_dev, max_tris, 3, 3),
+    counts (n_dev,)) where counts[d] is the number of valid triangles from
+    shard d. Triangles of shard d are in reference cube order within the
+    shard, so concatenation preserves global order.
+    """
+    from ..ops.mc_tables import MC_TRI_COUNT, MC_TRI_TABLE
+    from ..ops.marching_cubes import (
+        _CORNER_OFFSETS,
+        _CUBE_DIAG_FACTOR,
+        _MC_EPS,
+        MC_EDGE_PAIRS,
+    )
+
+    nk, nj, ni = (int(x) for x in shape)
+    n_dev = mesh.devices.size
+    if nk % n_dev != 0:
+        raise ValueError(f"slab axis {nk} not divisible by {n_dev} devices")
+    nk_local = nk // n_dev
+    nx, ny = ni - 1, nj - 1
+    M = int(max_tris_per_shard)
+
+    def local_mc(grid_ext, origin, res, k0):
+        """Marching cubes over one shard's cubes. grid_ext includes the halo
+        plane: (nk_local+1, nj, ni)."""
+        c = (
+            grid_ext[:-1, :-1, :-1],
+            grid_ext[:-1, :-1, 1:],
+            grid_ext[:-1, 1:, 1:],
+            grid_ext[:-1, 1:, :-1],
+            grid_ext[1:, :-1, :-1],
+            grid_ext[1:, :-1, 1:],
+            grid_ext[1:, 1:, 1:],
+            grid_ext[1:, 1:, :-1],
+        )
+        index = jnp.zeros(c[0].shape, dtype=jnp.int32)
+        for b, v in enumerate(c):
+            index = index | (jnp.int32(v < 0.0) << b)
+        counts = jnp.asarray(MC_TRI_COUNT)[index]
+        keep = jnp.abs(c[0]) <= _CUBE_DIAG_FACTOR * res
+        counts = jnp.where(keep, counts, 0)
+        active = counts > 0
+        n_act = jnp.sum(active.astype(jnp.int32))
+        (cube_idx,) = jnp.nonzero(active.ravel(), size=M, fill_value=-1)
+
+        A = M
+        safe = jnp.maximum(cube_idx, 0)
+        ci = safe % nx
+        cj = (safe // nx) % ny
+        ck = safe // (nx * ny)
+        gflat = grid_ext.ravel()
+        offs = jnp.asarray(_CORNER_OFFSETS)
+        gi = (
+            (ck[:, None] + offs[None, :, 2]) * (nj * ni)
+            + (cj[:, None] + offs[None, :, 1]) * ni
+            + (ci[:, None] + offs[None, :, 0])
+        )
+        v = gflat[gi]
+        base = jnp.stack(
+            [
+                origin[0] + ci.astype(jnp.float32) * res,
+                origin[1] + cj.astype(jnp.float32) * res,
+                origin[2] + (ck + k0).astype(jnp.float32) * res,
+            ],
+            axis=-1,
+        )
+        pc = base[:, None, :] + offs[None, :, :].astype(jnp.float32) * res
+        idx8 = jnp.zeros((A,), dtype=jnp.int32)
+        for b in range(8):
+            idx8 = idx8 | (jnp.int32(v[:, b] < 0.0) << b)
+        pairs = jnp.asarray(MC_EDGE_PAIRS)
+        va, vb = v[:, pairs[:, 0]], v[:, pairs[:, 1]]
+        pa, pb = pc[:, pairs[:, 0], :], pc[:, pairs[:, 1], :]
+        ca_, cb_ = jnp.abs(va) < _MC_EPS, jnp.abs(vb) < _MC_EPS
+        t = jnp.where(ca_ & cb_, 0.5, (0.0 - va) / (vb - va))
+        pt = pa + t[..., None] * (pb - pa)
+        pt = jnp.where((cb_ & ~ca_)[..., None], pb, pt)
+        pt = jnp.where((ca_ & ~cb_)[..., None], pa, pt)
+        table = jnp.asarray(MC_TRI_TABLE)[idx8]
+        tcounts = jnp.asarray(MC_TRI_COUNT)[idx8]
+        flat_pt = pt.reshape(A * 12, 3)
+        gidx = (
+            jax.lax.broadcasted_iota(jnp.int32, (A, 5, 3), 0) * 12
+            + jnp.maximum(table, 0)
+        ).reshape(-1)
+        tris = flat_pt[gidx].reshape(A, 5, 3, 3)[:, :, ::-1, :]
+        slot = jax.lax.broadcasted_iota(jnp.int32, (A, 5), 1)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (A, 5), 0)
+        valid = (slot < tcounts[:, None]) & (rowi < n_act) & (cube_idx[:, None] >= 0)
+        total = jnp.sum(jnp.where(valid, 1, 0))
+        (tidx,) = jnp.nonzero(valid.reshape(A * 5), size=M, fill_value=-1)
+        out = jnp.where(
+            (tidx >= 0)[:, None, None],
+            tris.reshape(A * 5, 3, 3)[jnp.maximum(tidx, 0)],
+            0.0,
+        )
+        return out, total
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(AXIS, None, None, None), P(AXIS)),
+    )
+    def step(origin, res):
+        me = jax.lax.axis_index(AXIS)
+        k0 = me * nk_local
+        # local slab + one extra plane (halo) evaluated redundantly: one
+        # plane of recompute beats a ppermute dependency chain at this size,
+        # and keeps the step collective-free until the final gather.
+        iz = jax.lax.broadcasted_iota(jnp.float32, (nk_local + 1, nj, ni), 0) + k0
+        iy = jax.lax.broadcasted_iota(jnp.float32, (nk_local + 1, nj, ni), 1)
+        ix = jax.lax.broadcasted_iota(jnp.float32, (nk_local + 1, nj, ni), 2)
+        p = jnp.stack(
+            [origin[0] + ix * res, origin[1] + iy * res, origin[2] + iz * res],
+            axis=-1,
+        )
+        grid_ext = tree.distance(p)
+        tris, total = local_mc(grid_ext, origin, res, k0)
+        return tris[None], total[None]
+
+    return jax.jit(step)
+
+
+def render_sharded(tree: Shader3D, mesh: Mesh, res: float, max_tris_per_shard=1 << 18):
+    """Full multi-chip render: returns (T,3,3) float32 triangles on host.
+
+    Grid sizing matches FlatRenderer; nk is padded up to a multiple of the
+    mesh size (extra slabs lie outside bounds and produce no triangles --
+    they evaluate beyond the far field where the quick-reject culls them).
+    """
+    import math as _math
+
+    bb = tree.bounds().scale_centered((1.01, 1.01, 1.01))
+    sz = bb.size()
+    res32 = _f32(res)
+    nx = int(_math.ceil(_f32(sz[0]) / res32))
+    ny = int(_math.ceil(_f32(sz[1]) / res32))
+    nz = int(_math.ceil(_f32(sz[2]) / res32))
+    n_dev = mesh.devices.size
+    nk = nz + 1
+    if nk % n_dev:
+        nk += n_dev - nk % n_dev
+    step = sharded_render_step(tree, mesh, (nk, ny + 1, nx + 1), max_tris_per_shard)
+    origin = jnp.asarray(bb.min)
+    tris, counts = step(origin, res32)
+    tris = np.asarray(tris)
+    counts = np.asarray(counts)
+    out = [tris[d, : counts[d]] for d in range(tris.shape[0])]
+    return np.concatenate(out, axis=0)

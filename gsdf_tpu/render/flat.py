@@ -79,8 +79,27 @@ class FlatRenderer:
             k += kk
         return jnp.concatenate(slabs, axis=0)
 
-    def render(self) -> np.ndarray:
-        """Render to an (T,3,3) float32 triangle array."""
+    def render(self, fused: bool = True) -> np.ndarray:
+        """Render to an (T,3,3) float32 triangle array.
+
+        fused=True (default) runs the whole render as one XLA dispatch
+        (gsdf_tpu.ops.fused_render); fused=False runs the staged pipeline
+        (separate grid eval + MC phases) — same output, used for
+        cross-checking and for grids too large for one executable."""
+        nk, nj, ni = self.nz + 1, self.ny + 1, self.nx + 1
+        if fused and nk * nj * ni <= self.max_slab_points:
+            from ..ops.fused_render import fused_render
+
+            self._evaluations += nk * nj * ni
+            tris, _, self._size_hint = fused_render(
+                self.s,
+                self.origin,
+                self.res,
+                (nk, nj, ni),
+                self.device,
+                size_hint=getattr(self, "_size_hint", None),
+            )
+            return tris
         grid = self._eval_grid()
         tris, _ = marching_cubes_grid(grid, self.origin, self.res, self.device)
         return tris
