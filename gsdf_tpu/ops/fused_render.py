@@ -60,8 +60,10 @@ def build_fused_render(tree, shape, a_size: int, t_size: int, device):
     A = int(a_size)
     T = int(t_size)
 
-    def impl(origin, res):
-        iz = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 0)
+    def impl(origin, res, k0):
+        # k0 is a plane offset added to iz so a slab render reproduces the
+        # exact float32 positions of a whole-grid render (origin + (iz+k0)*res)
+        iz = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 0) + k0
         iy = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 1)
         ix = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 2)
         p = jnp.stack(
@@ -104,7 +106,7 @@ def build_fused_render(tree, shape, a_size: int, t_size: int, device):
             [
                 origin[0] + ci.astype(jnp.float32) * res,
                 origin[1] + cj.astype(jnp.float32) * res,
-                origin[2] + ck.astype(jnp.float32) * res,
+                origin[2] + (ck.astype(jnp.float32) + k0) * res,
             ],
             axis=-1,
         )
@@ -146,12 +148,38 @@ def build_fused_render(tree, shape, a_size: int, t_size: int, device):
 
     jitted = jax.jit(impl)
 
-    def fn(origin, res, _jitted=jitted, _dev=device):
+    def fn(origin, res, k0=np.float32(0), _jitted=jitted, _dev=device):
         with jax.default_device(_dev):
-            return _jitted(jax.device_put(origin, _dev), res)
+            return _jitted(jax.device_put(origin, _dev), res, _f32(k0))
 
     _fused_cache[key] = fn
     return fn
+
+
+def default_sizes(shape, size_hint=None):
+    """Initial (a_size, t_size) buckets for a grid shape."""
+    if size_hint:
+        return size_hint
+    nk, nj, ni = (int(x) for x in shape)
+    ncubes = max((nk - 1) * (nj - 1) * (ni - 1), 1)
+    est = int(12 * ncubes ** (2 / 3)) + 4096
+    a_size = _bucket(min(est, ncubes))
+    t_size = _bucket(int(a_size * 2.5))
+    return a_size, t_size
+
+
+def fused_render_async(tree, origin, res, shape, device, size_hint=None, k0=0.0):
+    """Dispatch one fused render without waiting. Returns
+    (out_dev, n_active_dev, total_dev, (a_size, t_size)). The caller fetches
+    results later (overlapping other dispatches) and must re-dispatch with
+    bigger sizes if int(n_active) > a_size or int(total) > t_size.
+
+    k0 shifts the grid's plane index along z (slab rendering) while keeping
+    bit-exact position arithmetic with a whole-grid render."""
+    a_size, t_size = default_sizes(shape, size_hint)
+    fn = build_fused_render(tree, shape, a_size, t_size, device)
+    out, n_active, total = fn(jnp.asarray(np.asarray(origin, _f32)), _f32(res), k0)
+    return out, n_active, total, (a_size, t_size)
 
 
 def fused_render(tree, origin, res, shape, device, size_hint=None):

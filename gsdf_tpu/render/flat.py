@@ -88,21 +88,73 @@ class FlatRenderer:
         cross-checking and for grids too large for one executable."""
         nk, nj, ni = self.nz + 1, self.ny + 1, self.nx + 1
         if fused and nk * nj * ni <= self.max_slab_points:
-            from ..ops.fused_render import fused_render
-
-            self._evaluations += nk * nj * ni
-            tris, _, self._size_hint = fused_render(
-                self.s,
-                self.origin,
-                self.res,
-                (nk, nj, ni),
-                self.device,
-                size_hint=getattr(self, "_size_hint", None),
-            )
-            return tris
+            return self._render_fused_slabbed()
         grid = self._eval_grid()
         tris, _ = marching_cubes_grid(grid, self.origin, self.res, self.device)
         return tris
+
+    # Cube count above which the fused path splits into z-slabs. Slab
+    # pipelining does NOT help latency on remote-tunnel device links (the
+    # link serializes dispatch+transfer; measured 690ms single-shot vs
+    # 810ms 4-slab on the flange) so the threshold is set for memory
+    # headroom, not overlap: ~48M cubes keeps peak HBM use of the fused
+    # executable well under one v5e chip's 16GB.
+    slab_cubes = 48_000_000
+
+    def _render_fused_slabbed(self) -> np.ndarray:
+        from ..ops.fused_render import fused_render, fused_render_async
+
+        nk, nj, ni = self.nz + 1, self.ny + 1, self.nx + 1
+        self._evaluations += nk * nj * ni
+        ncubes = self.nx * self.ny * self.nz
+        n_slabs = max(1, min(self.nz, -(-ncubes // self.slab_cubes)))
+        if n_slabs == 1:
+            tris, _, self._size_hint = fused_render(
+                self.s, self.origin, self.res, (nk, nj, ni), self.device,
+                size_hint=getattr(self, "_size_hint", None),
+            )
+            return tris
+
+        hints = getattr(self, "_slab_hints", None)
+        if hints is None or len(hints) != n_slabs:
+            hints = [None] * n_slabs
+        # cube-layer ranges per slab (z-outermost order preserves the
+        # reference's global cube order on concatenation)
+        bounds_k = [self.nz * s // n_slabs for s in range(n_slabs + 1)]
+        pending = []
+        for s in range(n_slabs):
+            k0, k1 = bounds_k[s], bounds_k[s + 1]
+            slab_nk = k1 - k0 + 1  # planes (1-plane overlap with next slab)
+            out = fused_render_async(
+                self.s, self.origin, self.res, (slab_nk, nj, ni), self.device,
+                size_hint=hints[s], k0=float(k0),
+            )
+            pending.append((s, k0, k1, out))
+
+        parts = []
+        new_hints = [None] * n_slabs
+        from ..ops.fused_render import _bucket
+
+        for s, k0, k1, (out, n_active, total, sizes) in pending:
+            n_active = int(n_active)
+            total = int(total)
+            a_size, t_size = sizes
+            while n_active > a_size or total > t_size:
+                if n_active > a_size:
+                    a_size = _bucket(n_active)
+                if total > t_size:
+                    t_size = _bucket(max(total, int(a_size * 5) // 2))
+                slab_nk = k1 - k0 + 1
+                out, n_active, total, (a_size, t_size) = fused_render_async(
+                    self.s, self.origin, self.res, (slab_nk, nj, ni), self.device,
+                    size_hint=(a_size, t_size), k0=float(k0),
+                )
+                n_active = int(n_active)
+                total = int(total)
+            parts.append(np.asarray(out)[:total])
+            new_hints[s] = (_bucket(max(n_active, 1)), _bucket(max(total, 1)))
+        self._slab_hints = new_hints
+        return np.concatenate(parts, axis=0)
 
 
 def render_flat(
