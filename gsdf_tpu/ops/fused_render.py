@@ -156,6 +156,11 @@ def build_fused_render(tree, shape, a_size: int, t_size: int, device):
     return fn
 
 
+# remembered exact buffer sizes per (tree_hash, shape): any new renderer of
+# a previously-rendered tree dispatches with minimal buffers immediately
+_hint_cache: dict = {}
+
+
 def default_sizes(shape, size_hint=None):
     """Initial (a_size, t_size) buckets for a grid shape."""
     if size_hint:
@@ -176,6 +181,8 @@ def fused_render_async(tree, origin, res, shape, device, size_hint=None, k0=0.0)
 
     k0 shifts the grid's plane index along z (slab rendering) while keeping
     bit-exact position arithmetic with a whole-grid render."""
+    if size_hint is None:
+        size_hint = _hint_cache.get((tree.tree_hash(), tuple(shape), float(k0)))
     a_size, t_size = default_sizes(shape, size_hint)
     fn = build_fused_render(tree, shape, a_size, t_size, device)
     out, n_active, total = fn(jnp.asarray(np.asarray(origin, _f32)), _f32(res), k0)
@@ -186,15 +193,9 @@ def fused_render(tree, origin, res, shape, device, size_hint=None):
     """Render in one dispatch. Returns (tris (total,3,3) np.float32,
     n_active, (a_size, t_size) used) — pass the sizes back as size_hint on
     the next render of the same tree for an exact-size dispatch."""
-    nk, nj, ni = (int(x) for x in shape)
-    ncubes = (nk - 1) * (nj - 1) * (ni - 1)
-    if size_hint:
-        a_size, t_size = size_hint
-    else:
-        # surface-area heuristic: active cubes scale as ncubes^(2/3)
-        est = int(12 * ncubes ** (2 / 3)) + 4096
-        a_size = _bucket(min(est, ncubes))
-        t_size = _bucket(int(a_size * 2.5))
+    if size_hint is None:
+        size_hint = _hint_cache.get((tree.tree_hash(), tuple(shape), 0.0))
+    a_size, t_size = default_sizes(shape, size_hint)
     origin = np.asarray(origin, _f32)
     res = _f32(res)
     while True:
@@ -206,6 +207,7 @@ def fused_render(tree, origin, res, shape, device, size_hint=None):
             # shrink the hint to exact buckets so steady-state renders
             # dispatch with minimal buffers (and minimal transfer)
             hint = (_bucket(n_active), _bucket(total))
+            _hint_cache[(tree.tree_hash(), tuple(shape), 0.0)] = hint
             return np.asarray(out)[:total], n_active, hint
         if n_active > a_size:
             a_size = _bucket(n_active)

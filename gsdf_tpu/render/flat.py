@@ -153,6 +153,12 @@ class FlatRenderer:
                 total = int(total)
             parts.append(np.asarray(out)[:total])
             new_hints[s] = (_bucket(max(n_active, 1)), _bucket(max(total, 1)))
+            from ..ops.fused_render import _hint_cache
+
+            slab_nk = k1 - k0 + 1
+            _hint_cache[
+                (self.s.tree_hash(), (slab_nk, nj, ni), float(k0))
+            ] = new_hints[s]
         self._slab_hints = new_hints
         return np.concatenate(parts, axis=0)
 
