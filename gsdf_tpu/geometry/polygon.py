@@ -76,6 +76,13 @@ class PolygonBuilder:
     def add_polar(self, r: float, theta: float) -> _Vertex:
         return self.add_xy(r * math.cos(theta), r * math.sin(theta))
 
+    def add_relative_xy(self, dx: float, dy: float) -> _Vertex:
+        """Add a vertex displaced (dx, dy) from the previous vertex."""
+        if not self._verts:
+            raise ValueError("add_relative_xy needs a previous vertex")
+        last = self._verts[-1]
+        return self.add_xy(last.x + dx, last.y + dy)
+
     def nagon(self, n: int, radius: float) -> None:
         """Regular n-gon of circumradius `radius`, edges symmetric about x."""
         if n < 3:
@@ -212,11 +219,13 @@ def _arc_points(p0, p1, radius, facets):
     center = (mid[0] - side * perp[0] * h, mid[1] - side * perp[1] * h)
     a0 = math.atan2(p0[1] - center[1], p0[0] - center[0])
     a1 = math.atan2(p1[1] - center[1], p1[0] - center[0])
+    # always the minor arc: the radius sign already placed the center (and
+    # hence the bulge side); sweep is the shortest angular path p0 -> p1.
     sweep = a1 - a0
-    if side > 0 and sweep < 0:
-        sweep += _TAU
-    elif side < 0 and sweep > 0:
+    if sweep > math.pi:
         sweep -= _TAU
+    elif sweep < -math.pi:
+        sweep += _TAU
     pts = []
     for i in range(facets + 1):
         ang = a0 + sweep * i / facets
