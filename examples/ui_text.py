@@ -1,0 +1,34 @@
+"""Extruded 3D text (reference examples/ui-text/uitext.go:20-43).
+
+The reference shows this in an interactive raymarch UI; here it renders to
+STL.
+"""
+from _common import example_args, render_stl
+
+from gsdf_tpu import Builder
+from gsdf_tpu.forge.textsdf import Font, FontConfig
+
+
+def scene(bld: Builder):
+    f = Font()
+    f.configure(FontConfig(relative_glyph_tolerance=0.15, builder=bld))
+    f.load_default()
+    text = "Hello world!"
+    line = f.text_line(text)
+    line = bld.scale2d(line, 10)  # scale to prevent numeric error
+
+    sz = line.bounds().size()
+    char_width = float(sz[0]) / len(text)
+    line = bld.translate2d(line, -float(sz[0]) / 2, 0)
+    shape = bld.extrude(line, char_width / 3)
+    shape = bld.scale(shape, 0.3)
+    err = bld.err()
+    if err:
+        raise err
+    return shape
+
+
+if __name__ == "__main__":
+    args = example_args(resdiv_default=400)
+    bld = Builder()
+    render_stl(scene(bld), "uitext", args)
