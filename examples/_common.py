@@ -21,7 +21,7 @@ def example_args(resdiv_default=200, **extra):
     return ap.parse_args()
 
 
-def render_stl(obj, name, args, visual=False):
+def render_stl(obj, name, args, visual=True):
     from gsdf_tpu.pipeline import RenderConfig, render_shader3d
 
     res = args.res or obj.bounds().diagonal() / args.resdiv

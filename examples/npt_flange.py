@@ -50,9 +50,15 @@ def main():
     bld = Builder()
     obj = scene(bld)
     res = args.res or obj.bounds().diagonal() / args.resdiv
-    with open(args.out, "wb") as f:
+    with open(args.out, "wb") as f, open("nptflange.glsl", "w") as fvis:
         stats = render_shader3d(
-            obj, RenderConfig(stl_output=f, resolution=res, use_gpu=not args.cpu)
+            obj,
+            RenderConfig(
+                stl_output=f,
+                visual_output=fvis,
+                resolution=res,
+                use_gpu=not args.cpu,
+            ),
         )
     print(f"finished npt-flange example: {stats['triangles']} triangles -> {args.out}")
 
