@@ -303,3 +303,53 @@ class DualContourRenderer:
             return np.empty((0, 3, 3), _f32)
         self._debug_blocks = [len(t) for t in tris]
         return np.concatenate(tris, axis=0).astype(_f32)
+
+
+def minecraft_render(s: Shader3D, res: float, device=None) -> np.ndarray:
+    """Axis-aligned voxel-face debug render (reference minecraftRender,
+    glrender/dual_contour.go:297-403): each sign-crossing voxel edge emits
+    the voxel face it pierces, yielding a blocky mesh."""
+    dc = DualContourRenderer(s, res, device=device)
+    nk, nj, ni = dc.nz + 1, dc.ny + 1, dc.nx + 1
+    grid = np.asarray(
+        ev.evaluate_grid(dc.s, dc.origin, float(dc.res), (nk, nj, ni), dc.device)
+    )
+    d0 = grid[: dc.nz, : dc.ny, : dc.nx]
+    r = float(dc.res)
+    tris = []
+    # per axis: face at the edge end, spanned by the two other axes
+    specs = [
+        (grid[: dc.nz, : dc.ny, 1:], 0, (0, 1, 0), (0, 0, 1)),  # x faces
+        (grid[: dc.nz, 1:, : dc.nx], 1, (0, 0, 1), (1, 0, 0)),  # y faces
+        (grid[1:, : dc.ny, : dc.nx], 2, (1, 0, 0), (0, 1, 0)),  # z faces
+    ]
+    for dend, axis, ua, ub in specs:
+        active = np.signbit(d0) != np.signbit(dend)
+        idx = np.argwhere(active)  # (E,3) [k,j,i]
+        if len(idx) == 0:
+            continue
+        flip = (dend - d0)[active] < 0
+        base = np.stack(
+            [
+                dc.origin[0] + idx[:, 2] * r,
+                dc.origin[1] + idx[:, 1] * r,
+                dc.origin[2] + idx[:, 0] * r,
+            ],
+            axis=-1,
+        ).astype(_f32)
+        base[:, axis] += r  # face sits at the edge end
+        a = np.asarray(ua, _f32) * r
+        b = np.asarray(ub, _f32) * r
+        q0 = base
+        q1 = base + a
+        q2 = base + a + b
+        q3 = base + b
+        t1 = np.stack([q0, q1, q2], axis=1)
+        t2 = np.stack([q2, q3, q0], axis=1)
+        t1[flip] = t1[flip][:, ::-1, :]
+        t2[flip] = t2[flip][:, ::-1, :]
+        tris.append(t1)
+        tris.append(t2)
+    if not tris:
+        return np.empty((0, 3, 3), _f32)
+    return np.concatenate(tris, axis=0).astype(_f32)

@@ -1,0 +1,94 @@
+"""Batcher, special evaluators, colors, minecraft render, block cache."""
+import numpy as np
+import pytest
+
+from gsdf_tpu import Builder
+from gsdf_tpu.eval import BlockCachedSDF3, new_cpu_sdf3, new_sdf2
+from gsdf_tpu.eval.batch import Batcher
+from gsdf_tpu.eval.special import displace_multi2d, lines2d_gpu, polygon_gpu
+
+bld = Builder()
+
+
+def test_batcher_ops():
+    b = Batcher()
+    a = np.array([1.0, -2.0, 3.0], np.float32)
+    c = np.array([-1.0, 5.0, 2.0], np.float32)
+    np.testing.assert_array_equal(b.union(None, a, c), np.minimum(a, c))
+    np.testing.assert_array_equal(b.diff(None, a, c), np.maximum(a, -c))
+    np.testing.assert_array_equal(b.intersect(None, a, c), np.maximum(a, c))
+    dst = np.empty(3, np.float32)
+    import jax.numpy as jnp
+
+    out = b.execute_raw_binary_operation(lambda x, y: x * 2 + y, dst, a, c)
+    np.testing.assert_array_equal(out, a * 2 + c)
+    assert out is dst
+
+
+def test_special_evaluators_match_tree():
+    verts = [(-0.5, -0.4), (0.5, -0.5), (0.4, 0.5), (-0.3, 0.35)]
+    pg = polygon_gpu(verts)
+    tree = new_sdf2(bld.new_polygon(verts))
+    pts = np.random.default_rng(0).uniform(-1, 1, (128, 2)).astype(np.float32)
+    np.testing.assert_allclose(pg.evaluate(pts), tree.evaluate(pts), atol=1e-6)
+
+    segs = [[(0, 0), (1, 0)], [(1, 0), (1, 1)]]
+    lg = lines2d_gpu(segs, 0.1)
+    lt = new_sdf2(bld.new_lines2d(segs, 0.1))
+    np.testing.assert_allclose(lg.evaluate(pts), lt.evaluate(pts), atol=1e-6)
+
+    dm = displace_multi2d(bld.new_circle(0.2), [(0.5, 0), (-0.5, 0)])
+    d = dm.evaluate(np.array([[0.5, 0], [-0.5, 0], [0, 0]], np.float32))
+    np.testing.assert_allclose(d[:2], -0.2, atol=1e-6)
+    assert d[2] > 0
+
+
+def test_block_cached_sdf3():
+    sdf = new_cpu_sdf3(bld.new_sphere(1.0))
+    cached = BlockCachedSDF3(sdf, 0.1, 0.1, 0.1)
+    pts = np.random.default_rng(1).uniform(-1, 1, (256, 3)).astype(np.float32)
+    d1 = cached.evaluate(pts)
+    d2 = cached.evaluate(pts)  # all hits; cached per voxel block, so values
+    # may come from a neighboring point in the same block (reference
+    # BlockCachedSDF3 semantics) — bounded by the block diagonal
+    np.testing.assert_allclose(d1, d2, atol=0.1 * np.sqrt(3))
+    assert cached.cache_hits() >= 256
+    assert cached.evaluations() == 512
+
+
+def test_minecraft_render():
+    from gsdf_tpu.render.dual_contour import minecraft_render
+
+    tris = minecraft_render(bld.new_sphere(0.5), 0.1)
+    assert len(tris) > 100
+    # all triangle vertices lie on the voxel lattice faces
+    assert np.all(np.isfinite(tris))
+    # faces are axis aligned: each triangle normal is +-1 on one axis
+    n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    n = np.abs(n / np.linalg.norm(n, axis=1, keepdims=True))
+    assert np.allclose(np.max(n, axis=1), 1.0, atol=1e-6)
+
+
+def test_colors():
+    from gsdf_tpu.pipeline.colors import (
+        color_conversion_inigo_quilez,
+        color_conversion_linear_gradient,
+    )
+
+    d = np.linspace(-1, 1, 64).reshape(8, 8).astype(np.float32)
+    img1 = color_conversion_inigo_quilez(0.5)(d)
+    img2 = color_conversion_linear_gradient(0, 240, 0.5)(d)
+    assert img1.shape == (8, 8, 4) and img1.dtype == np.uint8
+    assert img2.shape == (8, 8, 4)
+    # gradient endpoints differ
+    assert not np.array_equal(img2[0, 0], img2[-1, -1])
+
+
+def test_normals_point_outward():
+    from gsdf_tpu.eval import normals_central_diff
+
+    sdf = new_cpu_sdf3(bld.new_sphere(1.0))
+    pts = np.array([[1, 0, 0], [0, 1, 0], [0, 0, -1]], np.float32)
+    n = normals_central_diff(sdf, pts, 1e-3)
+    n = n / np.linalg.norm(n, axis=1, keepdims=True)
+    np.testing.assert_allclose(n, pts / np.linalg.norm(pts, axis=1, keepdims=True), atol=1e-3)
