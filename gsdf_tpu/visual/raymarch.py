@@ -1,0 +1,164 @@
+"""TPU-side sphere-tracing renderer — the headless counterpart of the
+reference's interactive GLFW raymarch UI (gsdfaux/ui.go:17-245).
+
+The reference evaluates the SDF inside a fragment shader (256 steps,
+ui.go:322-333); here the identical sphere-tracing loop runs as ONE jit
+kernel over the full pixel grid on the accelerator, shading included.
+`turntable` renders an orbit sequence (and optionally writes an animated
+GIF) — the batch equivalent of the UI's mouse orbit.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.node import Shader3D
+
+_f32 = np.float32
+
+_rm_cache: dict = {}
+
+
+def _raymarch_fn(tree: Shader3D, width: int, height: int, steps: int, device):
+    key = (tree.tree_hash(), width, height, steps, device)
+    fn = _rm_cache.get(key)
+    if fn is not None:
+        return fn
+
+    def impl(cam_pos, center, scale, yaw, pitch, light_dir):
+        iy = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+        ix = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
+        uv_x = (2.0 * ix - width) / height
+        uv_y = -(2.0 * iy - height) / height
+
+        def scene(p):
+            return tree.distance(p * scale + center) / scale
+
+        # camera basis (orbit about +z up, like the UI's yaw/pitch orbit)
+        cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+        cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+        ro = cam_pos * jnp.stack([cy * cp, sy * cp, sp])
+        ww = -ro / jnp.sqrt(jnp.sum(ro * ro))
+        up = jnp.asarray(np.array([0, 0, 1], _f32))
+        uu = jnp.cross(ww, up)
+        uu = uu / jnp.sqrt(jnp.sum(uu * uu))
+        vv = jnp.cross(uu, ww)
+        rd = (
+            uv_x[..., None] * uu + uv_y[..., None] * vv + 1.8 * ww
+        )
+        rd = rd / jnp.sqrt(jnp.sum(rd * rd, axis=-1, keepdims=True))
+
+        def body(_, carry):
+            t, done = carry
+            p = ro + rd * t[..., None]
+            d = scene(p)
+            hit = jnp.abs(d) < 1e-4
+            newly = hit & ~done
+            t = jnp.where(done | newly, t, t + d)
+            return t, done | newly | (t > 8.0)
+
+        t0 = jnp.zeros((height, width), jnp.float32)
+        done0 = jnp.zeros((height, width), bool)
+        t, done = jax.lax.fori_loop(0, steps, body, (t0, done0))
+
+        pos = ro + rd * t[..., None]
+        d_final = scene(pos)
+        hit = jnp.abs(d_final) < 1e-3
+
+        # tetrahedral normals
+        h = _f32(1e-4)
+        k1 = jnp.asarray(np.array([1, -1, -1], _f32))
+        k2 = jnp.asarray(np.array([-1, -1, 1], _f32))
+        k3 = jnp.asarray(np.array([-1, 1, -1], _f32))
+        k4 = jnp.asarray(np.array([1, 1, 1], _f32))
+        n = (
+            k1 * scene(pos + k1 * h)[..., None]
+            + k2 * scene(pos + k2 * h)[..., None]
+            + k3 * scene(pos + k3 * h)[..., None]
+            + k4 * scene(pos + k4 * h)[..., None]
+        )
+        n = n / jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-20)
+
+        dif = jnp.clip(jnp.sum(n * light_dir, axis=-1), 0.0, 1.0)
+        amb = 0.5 + 0.5 * n[..., 2]
+        base = jnp.asarray(np.array([0.85, 0.6, 0.3], _f32))
+        col_hit = base * (0.25 * amb + 0.8 * dif)[..., None]
+        spec = jnp.clip(
+            jnp.sum((rd - 2 * jnp.sum(rd * n, axis=-1, keepdims=True) * n) * light_dir, axis=-1),
+            0.0,
+            1.0,
+        ) ** 16
+        col_hit = col_hit + 0.15 * spec[..., None]
+        sky = jnp.asarray(np.array([0.65, 0.78, 0.9], _f32)) - 0.4 * rd[..., 2:3]
+        col = jnp.where(hit[..., None], col_hit, sky)
+        col = jnp.clip(col, 0.0, 1.0) ** (1 / 2.2)
+        return (col * 255).astype(jnp.uint8)
+
+    jitted = jax.jit(impl)
+
+    def fn(*args, _jitted=jitted, _dev=device):
+        with jax.default_device(_dev):
+            return _jitted(*[jax.device_put(a, _dev) for a in args])
+
+    _rm_cache[key] = fn
+    return fn
+
+
+def raymarch_image(
+    obj: Shader3D,
+    width: int = 512,
+    height: int = 512,
+    yaw: float = 0.6,
+    pitch: float = 0.5,
+    cam_dist: float = 2.4,
+    steps: int = 196,
+    device=None,
+) -> np.ndarray:
+    """Render one shaded view of the part, returning (H,W,3) uint8."""
+    device = device if device is not None else jax.devices()[0]
+    bb = obj.bounds()
+    center = bb.center().astype(_f32)
+    scale = _f32(max(float(np.max(bb.size())) / 2, 1e-9))
+    light = np.array([0.6, 0.4, 0.8], _f32)
+    light /= np.linalg.norm(light)
+    fn = _raymarch_fn(obj, width, height, steps, device)
+    img = fn(
+        _f32(cam_dist),
+        jnp.asarray(center),
+        scale,
+        _f32(yaw),
+        _f32(pitch),
+        jnp.asarray(light),
+    )
+    return np.asarray(img)
+
+
+def turntable(
+    obj: Shader3D,
+    n_frames: int = 24,
+    width: int = 384,
+    height: int = 384,
+    pitch: float = 0.5,
+    gif_path: Optional[str] = None,
+    device=None,
+):
+    """Render an orbit of the part; optionally write an animated GIF."""
+    frames = [
+        raymarch_image(
+            obj, width, height, yaw=2 * math.pi * i / n_frames, pitch=pitch,
+            device=device,
+        )
+        for i in range(n_frames)
+    ]
+    if gif_path:
+        from PIL import Image
+
+        imgs = [Image.fromarray(f) for f in frames]
+        imgs[0].save(
+            gif_path, save_all=True, append_images=imgs[1:], duration=80, loop=0
+        )
+    return frames
