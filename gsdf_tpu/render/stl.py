@@ -36,7 +36,10 @@ def triangle_normals(tris: np.ndarray) -> np.ndarray:
 
 
 def write_binary_stl(w, model: np.ndarray) -> int:
-    """Write (T,3,3) float32 triangles as binary STL. Returns bytes written."""
+    """Write (T,3,3) float32 triangles as binary STL. Returns bytes written.
+
+    Record packing runs in the native C++ layer when available
+    (gsdf_tpu/native), with this numpy path as fallback."""
     model = np.asarray(model, _f32)
     if model.size == 0:
         raise ValueError("empty triangle slice")
@@ -45,6 +48,11 @@ def write_binary_stl(w, model: np.ndarray) -> int:
         raise ValueError("amount of triangles in model exceeds STL design limits")
     header = bytes(80) + struct.pack("<I", nt)
     n = w.write(header)
+    from ..native import get_lib, stl_encode
+
+    if get_lib() is not None:
+        n += w.write(stl_encode(model))
+        return n
     rec = np.zeros(nt, dtype=_STL_DTYPE)
     rec["normal"] = triangle_normals(model)
     rec["v1"] = model[:, 0]
