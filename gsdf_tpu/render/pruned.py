@@ -74,21 +74,25 @@ def _coarse_fn(tree, shape, device):
     return fn
 
 
-def _tile_mc_fn(tree, S, n_tiles, t_size, device):
+def _tile_mc_fn(tree, S, n_tiles, a_size, t_size, device):
     """Batched per-tile corner eval + marching cubes.
 
+    Active cubes are compacted BEFORE edge interpolation (a_size slots),
+    exactly like the fused dense path — interpolation cost scales with
+    surface cubes, not tile volume.
+
     Inputs: tile_ijk (n_tiles, 3) int32 tile indices (-1 padded).
-    Returns (tris (t_size,3,3), total, per-tile cube-corner grid evals).
+    Returns (tris (t_size,3,3), n_active, total_tris).
     """
-    key = ("tilemc", tree.tree_hash(), S, n_tiles, t_size, device)
+    key = ("tilemc", tree.tree_hash(), S, n_tiles, a_size, t_size, device)
     fn = _kernel_cache.get(key)
     if fn is None:
         P = S + 1  # corner planes per tile
 
         def impl(tile_ijk, origin, res):
             T = tile_ijk.shape[0]
-            safe = jnp.maximum(tile_ijk, 0)  # (T,3) [i,j,k] tile coords
-            base = safe.astype(jnp.float32) * _f32(S)  # corner-index offset
+            safe_t = jnp.maximum(tile_ijk, 0)  # (T,3) [i,j,k] tile coords
+            base = safe_t.astype(jnp.float32) * _f32(S)  # corner-index offset
             iz = jax.lax.broadcasted_iota(jnp.float32, (T, P, P, P), 1)
             iy = jax.lax.broadcasted_iota(jnp.float32, (T, P, P, P), 2)
             ix = jax.lax.broadcasted_iota(jnp.float32, (T, P, P, P), 3)
@@ -118,50 +122,74 @@ def _tile_mc_fn(tree, S, n_tiles, t_size, device):
             keep = jnp.abs(c[0]) <= _CUBE_DIAG_FACTOR * res
             valid_tile = (tile_ijk[:, 0] >= 0)[:, None, None, None]
             active = keep & (index != 0) & (index != 255) & valid_tile
+            n_active = jnp.sum(active.astype(jnp.int32))
 
-            counts = jnp.where(active, jnp.asarray(MC_TRI_COUNT)[index], 0)
+            # compact active cube slots: flat id = ((t*S+k)*S+j)*S+i
+            flat_active = active.reshape(-1)
+            pos = jnp.cumsum(flat_active.astype(jnp.int32)) - 1
+            ids = jnp.arange(flat_active.shape[0], dtype=jnp.int32)
+            dest = jnp.where(flat_active, pos, a_size)
+            cube_id = jnp.full((a_size + 1,), -1, jnp.int32)
+            cube_id = cube_id.at[dest].set(ids, mode="drop")[:a_size]
 
-            # emit all triangles padded then compact: cube corner positions
-            vv = jnp.stack(c, axis=-1)  # (T,S,S,S,8)
-            ck = jax.lax.broadcasted_iota(jnp.float32, (T, S, S, S), 1)
-            cj = jax.lax.broadcasted_iota(jnp.float32, (T, S, S, S), 2)
-            ci = jax.lax.broadcasted_iota(jnp.float32, (T, S, S, S), 3)
-            bx = origin[0] + (base[:, 0, None, None, None] + ci) * res
-            by = origin[1] + (base[:, 1, None, None, None] + cj) * res
-            bz = origin[2] + (base[:, 2, None, None, None] + ck) * res
-            pos0 = jnp.stack([bx, by, bz], axis=-1)  # (T,S,S,S,3)
-            offs = jnp.asarray(_CORNER_OFFSETS).astype(jnp.float32)
-            pc = pos0[..., None, :] + offs * res  # (T,S,S,S,8,3)
+            safe = jnp.maximum(cube_id, 0)
+            ci = safe % S
+            cj = (safe // S) % S
+            ck = (safe // (S * S)) % S
+            ct = safe // (S * S * S)  # tile slot
+
+            # gather the 8 corner values from the tile grid atlas
+            gflat = grid.reshape(-1)
+            offs = jnp.asarray(_CORNER_OFFSETS)
+            gi = (
+                ct[:, None] * (P * P * P)
+                + (ck[:, None] + offs[None, :, 2]) * (P * P)
+                + (cj[:, None] + offs[None, :, 1]) * P
+                + (ci[:, None] + offs[None, :, 0])
+            )
+            v = gflat[gi]  # (A,8)
+            tb = base[ct]  # (A,3) tile corner-index offsets [i,j,k]
+            pb0 = jnp.stack(
+                [
+                    origin[0] + (tb[:, 0] + ci.astype(jnp.float32)) * res,
+                    origin[1] + (tb[:, 1] + cj.astype(jnp.float32)) * res,
+                    origin[2] + (tb[:, 2] + ck.astype(jnp.float32)) * res,
+                ],
+                axis=-1,
+            )
+            pc = pb0[:, None, :] + offs[None, :, :].astype(jnp.float32) * res
+
+            idx8 = jnp.zeros((a_size,), dtype=jnp.int32)
+            for b in range(8):
+                idx8 = idx8 | (jnp.int32(v[:, b] < 0.0) << b)
 
             pairs = jnp.asarray(MC_EDGE_PAIRS)
-            va = vv[..., pairs[:, 0]]
-            vb = vv[..., pairs[:, 1]]
-            pa = pc[..., pairs[:, 0], :]
-            pb = pc[..., pairs[:, 1], :]
+            va, vb = v[:, pairs[:, 0]], v[:, pairs[:, 1]]
+            pa, pbb = pc[:, pairs[:, 0], :], pc[:, pairs[:, 1], :]
             ca_, cb_ = jnp.abs(va) < _MC_EPS, jnp.abs(vb) < _MC_EPS
             t = jnp.where(ca_ & cb_, 0.5, (0.0 - va) / (vb - va))
-            pt = pa + t[..., None] * (pb - pa)
-            pt = jnp.where((cb_ & ~ca_)[..., None], pb, pt)
-            pt = jnp.where((ca_ & ~cb_)[..., None], pa, pt)  # (T,S,S,S,12,3)
+            pt = pa + t[..., None] * (pbb - pa)
+            pt = jnp.where((cb_ & ~ca_)[..., None], pbb, pt)
+            pt = jnp.where((ca_ & ~cb_)[..., None], pa, pt)  # (A,12,3)
 
-            table = jnp.asarray(MC_TRI_TABLE)[index]  # (T,S,S,S,5,3)
-            N = T * S * S * S
-            flat_pt = pt.reshape(N * 12, 3)
+            table = jnp.asarray(MC_TRI_TABLE)[idx8]
+            tcounts = jnp.asarray(MC_TRI_COUNT)[idx8]
+            flat_pt = pt.reshape(a_size * 12, 3)
             gidx = (
-                jax.lax.broadcasted_iota(jnp.int32, (N, 5, 3), 0) * 12
-                + jnp.maximum(table.reshape(N, 5, 3), 0)
+                jax.lax.broadcasted_iota(jnp.int32, (a_size, 5, 3), 0) * 12
+                + jnp.maximum(table, 0)
             ).reshape(-1)
-            tris = flat_pt[gidx].reshape(N, 5, 3, 3)[:, :, ::-1, :]
-            slot = jax.lax.broadcasted_iota(jnp.int32, (N, 5), 1)
-            valid = slot < counts.reshape(N)[:, None]
+            tris = flat_pt[gidx].reshape(a_size, 5, 3, 3)[:, :, ::-1, :]
+            slot = jax.lax.broadcasted_iota(jnp.int32, (a_size, 5), 1)
+            valid = (slot < tcounts[:, None]) & (cube_id[:, None] >= 0)
             total = jnp.sum(valid.astype(jnp.int32))
 
-            mask = valid.reshape(N * 5)
-            pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-            dest = jnp.where(mask, pos, t_size)
+            mask = valid.reshape(a_size * 5)
+            pos2 = jnp.cumsum(mask.astype(jnp.int32)) - 1
+            dest2 = jnp.where(mask, pos2, t_size)
             out = jnp.zeros((t_size + 1, 3, 3), jnp.float32)
-            out = out.at[dest].set(tris.reshape(N * 5, 3, 3), mode="drop")
-            return out[:t_size], total
+            out = out.at[dest2].set(tris.reshape(a_size * 5, 3, 3), mode="drop")
+            return out[:t_size], n_active, total
 
         jitted = jax.jit(impl)
 
@@ -237,19 +265,40 @@ class PrunedRenderer:
             batch = tiles[start : start + self.tiles_per_batch]
             nb = _bucket(len(batch), minimum=64, granule=self.tiles_per_batch)
             nb = min(nb, self.tiles_per_batch)
+            n_real = len(batch)
             if len(batch) < nb:
                 pad = np.full((nb - len(batch), 3), -1, np.int32)
                 batch = np.concatenate([batch, pad], axis=0)
-            t_size = _bucket(nb * self.S**3 // 4, minimum=4096)
-            fn = _tile_mc_fn(self.s, self.S, nb, t_size, self.device)
-            out, total = fn(jnp.asarray(batch), jnp.asarray(self.origin), self.res)
-            total = int(total)
-            while total > t_size:  # overflow: retry with bigger buffer
-                t_size = _bucket(total)
-                fn = _tile_mc_fn(self.s, self.S, nb, t_size, self.device)
-                out, total = fn(jnp.asarray(batch), jnp.asarray(self.origin), self.res)
+            # surviving tiles contain surface; expect a surface sheet worth
+            # of active cubes per tile (~S^2 scale); grow-and-retry covers
+            # the rest. Remembered exact sizes from a previous render of
+            # this object make steady-state dispatches minimal.
+            hints = _kernel_cache.setdefault(
+                ("hints", self.s.tree_hash(), float(self.res)), {}
+            )
+            if start in hints:
+                a_size, t_size = hints[start]
+            else:
+                a_size = _bucket(nb * self.S**2 * 3, minimum=4096)
+                t_size = _bucket(a_size * 5 // 2, minimum=4096)
+            while True:
+                fn = _tile_mc_fn(self.s, self.S, nb, a_size, t_size, self.device)
+                out, n_active, total = fn(
+                    jnp.asarray(batch), jnp.asarray(self.origin), self.res
+                )
+                n_active = int(n_active)
                 total = int(total)
-            self._evaluations += int((batch[:, 0] >= 0).sum()) * P3
+                if n_active <= a_size and total <= t_size:
+                    break
+                if n_active > a_size:
+                    a_size = _bucket(n_active)
+                if total > t_size:
+                    t_size = _bucket(max(total, a_size * 5 // 2))
+            self._evaluations += n_real * P3
+            hints[start] = (
+                _bucket(max(n_active, 1), minimum=4096),
+                _bucket(max(total, 1), minimum=4096),
+            )
             yield np.asarray(out)[:total]
 
     def render(self) -> np.ndarray:

@@ -1,0 +1,77 @@
+"""Pruned renderer: exact triangle-set parity with the flat renderer and
+pruning statistics (reference octree renderer counterpart)."""
+import numpy as np
+import pytest
+
+from gsdf_tpu import Builder
+from gsdf_tpu.render.flat import FlatRenderer
+from gsdf_tpu.render.pruned import PrunedRenderer, render_all
+
+bld = Builder()
+
+
+def _sorted_rows(tris):
+    rows = np.ascontiguousarray(tris.reshape(-1, 9))
+    order = np.lexsort(rows.T[::-1])
+    return rows[order]
+
+
+def test_pruned_matches_flat():
+    s = bld.difference(
+        bld.smooth_union(0.1, bld.new_sphere(0.8), bld.new_box(1.2, 1.2, 0.5, 0.05)),
+        bld.new_cylinder(0.3, 4.0, 0.0),
+    )
+    res = 0.05
+    pr = PrunedRenderer(s, res, tile_size=8, tiles_per_batch=256)
+    tris_p = pr.render()
+    fr = FlatRenderer(s, res)
+    tris_f = fr.render()
+    assert len(tris_p) == len(tris_f)
+    # same triangles up to cross-kernel fusion ulps (XLA may compile the
+    # tile kernel with different FMA contraction than the dense kernel; on
+    # TPU the flange matches bit-exactly)
+    np.testing.assert_allclose(
+        _sorted_rows(tris_p), _sorted_rows(tris_f), atol=1e-6
+    )
+    # pruning must actually skip evaluations
+    assert pr.total_pruned() > 0
+    assert pr.evaluations() < fr.evaluations() * 1.5
+
+
+def test_pruned_streaming():
+    s = bld.new_sphere(0.8)
+    pr = PrunedRenderer(s, 0.05, tiles_per_batch=64)
+    batches = list(pr.read_triangles())
+    assert len(batches) >= 1
+    total = sum(len(b) for b in batches)
+    assert total == len(FlatRenderer(s, 0.05).render())
+
+
+def test_render_all_helper():
+    s = bld.new_sphere(0.5)
+    pr = PrunedRenderer(s, 0.06)
+    tris = render_all(pr)
+    assert len(tris) > 100
+
+
+def test_pallas_grid_eval_matches():
+    """Pallas kernel path (interpret mode on CPU) must agree with the XLA
+    fused path for scalar-parameter trees."""
+    import jax
+
+    from gsdf_tpu.eval import evaluate_grid
+    from gsdf_tpu.eval.pallas_grid import HAS_PALLAS, evaluate_grid_pallas
+
+    if not HAS_PALLAS:
+        pytest.skip("pallas unavailable")
+    s = bld.union(
+        bld.new_sphere(0.6),
+        bld.new_cylinder(0.3, 1.2, 0.0),
+    )
+    shape = (4, 16, 140)
+    origin = np.array([-0.7, -0.7, -0.2], np.float32)
+    res = np.float32(0.01)
+    dev = jax.devices("cpu")[0]
+    g_pallas = np.asarray(evaluate_grid_pallas(s, origin, res, shape, dev))
+    g_xla = np.asarray(evaluate_grid(s, origin, res, shape, dev))
+    np.testing.assert_allclose(g_pallas, g_xla, atol=1e-6)
