@@ -51,7 +51,8 @@ def main():
     def run():
         t0 = time.monotonic()
         fr = FlatRenderer(obj, res)
-        tris = fr.render()
+        verts, tri_idx = fr.render_indexed()  # welded one-dispatch path
+        tris = verts[tri_idx]
         buf = io.BytesIO()
         write_binary_stl(buf, tris)
         return (time.monotonic() - t0) * 1e3, len(tris)

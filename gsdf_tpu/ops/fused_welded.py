@@ -1,0 +1,237 @@
+"""Welded single-dispatch renderer: grid eval + marching cubes emitting an
+INDEXED mesh (unique edge-crossing vertices + triangle index triples).
+
+Motivation: over a remote device link the dominant render cost is the
+device->host triangle payload (36 B/triangle as raw soup). MC vertices lie
+on grid edges shared by up to 4 cubes; welding on canonical edge identity
+cuts the payload to ~16 B/triangle — and yields a connected mesh for free
+(OBJ/PLY export, no crack-welding pass).
+
+Design: every crossing edge's canonical OWNER is the cube whose origin
+corner is the edge's low end; a crossing edge always has an active owner
+(its two straddling corners belong to the owner), so vertices are
+enumerated from the 3 owner-edges of each ACTIVE cube — all vertex work
+runs on the compacted active set, never densely. A single packed output
+buffer (counts row + vertices + bitcast indices) makes the render ONE
+dispatch and ONE device->host fetch.
+
+Coordinates may differ from the soup path in the last ulp (each vertex is
+interpolated once, from its owner cube's corner arithmetic); triangle count
+and connectivity are sign-derived and identical.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mc_tables import MC_EDGE_PAIRS, MC_TRI_COUNT, MC_TRI_TABLE
+from .marching_cubes import _CORNER_OFFSETS, _CUBE_DIAG_FACTOR, _MC_EPS, _bucket
+
+_f32 = np.float32
+
+_welded_cache: dict = {}
+
+# per cube-edge e: axis and low-corner offset; the owner cube of edge e of
+# cube c is c + low_offset, and within the owner it is the low edge `axis`.
+_EDGE_AXIS = []
+_EDGE_LOW = []
+for _a, _b in MC_EDGE_PAIRS:
+    oa = _CORNER_OFFSETS[_a]
+    ob = _CORNER_OFFSETS[_b]
+    _axis = int(np.argmax(oa != ob))
+    _EDGE_AXIS.append(_axis)
+    _EDGE_LOW.append(np.minimum(oa, ob))
+_EDGE_AXIS = np.array(_EDGE_AXIS, np.int32)  # (12,)
+_EDGE_LOW = np.array(_EDGE_LOW, np.int32)  # (12,3)
+
+# corner index of the far end of each low edge (x,y,z): corners 1,3,4
+_LOW_EDGE_FAR = np.array([1, 3, 4], np.int32)
+
+
+def build_welded_render(tree, shape, a_size, v_size, t_size, device):
+    """Compiled (origin, res, k0) -> packed (1 + v_size + t_size, 3) f32:
+    row 0 holds bitcast [n_active, n_verts, total_tris]; rows
+    [1, 1+v_size) hold vertices; remaining rows hold bitcast int32 triangle
+    index triples."""
+    key = (tree.tree_hash(), tuple(shape), a_size, v_size, t_size, device)
+    fn = _welded_cache.get(key)
+    if fn is not None:
+        return fn
+
+    nk, nj, ni = (int(x) for x in shape)
+    nx, ny, nz = ni - 1, nj - 1, nk - 1
+    A = int(a_size)
+    V = int(v_size)
+    T = int(t_size)
+
+    def impl(origin, res, k0):
+        iz = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 0) + k0
+        iy = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 1)
+        ix = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 2)
+        p = jnp.stack(
+            [origin[0] + ix * res, origin[1] + iy * res, origin[2] + iz * res],
+            axis=-1,
+        )
+        grid = tree.distance(p)
+
+        # --- active cube compaction (as in the soup path) ---------------
+        c = (
+            grid[:-1, :-1, :-1],
+            grid[:-1, :-1, 1:],
+            grid[:-1, 1:, 1:],
+            grid[:-1, 1:, :-1],
+            grid[1:, :-1, :-1],
+            grid[1:, :-1, 1:],
+            grid[1:, 1:, 1:],
+            grid[1:, 1:, :-1],
+        )
+        index = jnp.zeros(c[0].shape, dtype=jnp.int32)
+        for b, v_ in enumerate(c):
+            index = index | (jnp.int32(v_ < 0.0) << b)
+        keep = jnp.abs(c[0]) <= _CUBE_DIAG_FACTOR * res
+        active = keep & (index != 0) & (index != 255)
+        n_active = jnp.sum(active.astype(jnp.int32))
+        flat_active = active.reshape(-1)
+        apos = jnp.cumsum(flat_active.astype(jnp.int32)) - 1
+        ids = jnp.arange(flat_active.shape[0], dtype=jnp.int32)
+        adest = jnp.where(flat_active, apos, A)
+        cube_id = jnp.full((A + 1,), -1, jnp.int32)
+        cube_id = cube_id.at[adest].set(ids, mode="drop")[:A]
+        # inverse: cube linear id -> active slot
+        cube_slot = jnp.full((nx * ny * nz,), 0, jnp.int32)
+        cube_slot = cube_slot.at[jnp.maximum(cube_id, 0)].set(
+            jnp.arange(A, dtype=jnp.int32), mode="drop"
+        )
+
+        safe = jnp.maximum(cube_id, 0)
+        ci = safe % nx
+        cj = (safe // nx) % ny
+        ck = safe // (nx * ny)
+
+        # gather the 8 corner values + positions per active cube
+        gflat = grid.reshape(-1)
+        offs = jnp.asarray(_CORNER_OFFSETS)
+        gi = (
+            (ck[:, None] + offs[None, :, 2]) * (nj * ni)
+            + (cj[:, None] + offs[None, :, 1]) * ni
+            + (ci[:, None] + offs[None, :, 0])
+        )
+        v = gflat[gi]  # (A,8)
+        base = jnp.stack(
+            [
+                origin[0] + ci.astype(jnp.float32) * res,
+                origin[1] + cj.astype(jnp.float32) * res,
+                origin[2] + (ck.astype(jnp.float32) + k0) * res,
+            ],
+            axis=-1,
+        )
+        pc = base[:, None, :] + offs[None, :, :].astype(jnp.float32) * res
+
+        idx8 = jnp.zeros((A,), dtype=jnp.int32)
+        for b in range(8):
+            idx8 = idx8 | (jnp.int32(v[:, b] < 0.0) << b)
+        valid_cube = cube_id >= 0
+
+        # --- vertices: the 3 owner (low) edges of each active cube -------
+        far = jnp.asarray(_LOW_EDGE_FAR)
+        v0 = v[:, 0:1]  # (A,1)
+        vfar = v[:, far]  # (A,3)
+        crossing = ((v0 < 0) != (vfar < 0)) & valid_cube[:, None]  # (A,3)
+        vflags = crossing.reshape(-1)  # (3A,) cube-major, axis order x,y,z
+        vpos = jnp.cumsum(vflags.astype(jnp.int32)) - 1
+        n_verts = vpos[-1] + 1
+        vert_slot = jnp.where(vflags, vpos, -1).reshape(A, 3)
+
+        ca_ = jnp.abs(v0) < _MC_EPS  # (A,1)
+        cb_ = jnp.abs(vfar) < _MC_EPS  # (A,3)
+        t = jnp.where(ca_ & cb_, 0.5, (0.0 - v0) / (vfar - v0))  # (A,3)
+        pa = pc[:, 0:1, :]  # (A,1,3)
+        pb = pc[:, far, :]  # (A,3,3)
+        pt = pa + t[..., None] * (pb - pa)
+        pt = jnp.where((cb_ & ~ca_)[..., None], pb, pt)
+        pt = jnp.where((ca_ & ~cb_)[..., None], pa, pt)  # (A,3,3)
+
+        vdest = jnp.where(vflags, vpos, V)
+        verts = jnp.zeros((V + 1, 3), jnp.float32)
+        verts = verts.at[vdest].set(pt.reshape(3 * A, 3), mode="drop")[:V]
+
+        # --- triangles: table edges -> owner cube -> vertex slot ---------
+        eax = jnp.asarray(_EDGE_AXIS)
+        elow = jnp.asarray(_EDGE_LOW)
+        # owner cube coords per (cube, edge) — clamped; a crossing edge's
+        # owner is always in range (surface cannot touch the padded margin)
+        oi = jnp.minimum(ci[:, None] + elow[None, :, 0], nx - 1)
+        oj = jnp.minimum(cj[:, None] + elow[None, :, 1], ny - 1)
+        ok = jnp.minimum(ck[:, None] + elow[None, :, 2], nz - 1)
+        owner_lin = (ok * ny + oj) * nx + oi  # (A,12)
+        owner_slot = cube_slot[owner_lin]  # (A,12)
+        edge_vert = vert_slot[owner_slot, eax[None, :]]  # (A,12)
+
+        table = jnp.asarray(MC_TRI_TABLE)[idx8]  # (A,5,3)
+        tcounts = jnp.asarray(MC_TRI_COUNT)[idx8]
+        te = jnp.maximum(table, 0)
+        tri_slots = jnp.take_along_axis(
+            edge_vert[:, None, :].repeat(5, axis=1), te, axis=2
+        )[:, :, ::-1]  # (A,5,3), reference winding reversal
+
+        slot = jax.lax.broadcasted_iota(jnp.int32, (A, 5), 1)
+        valid = (slot < tcounts[:, None]) & valid_cube[:, None]
+        total = jnp.sum(valid.astype(jnp.int32))
+        mask = valid.reshape(A * 5)
+        tpos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        tdest = jnp.where(mask, tpos, T)
+        tri_idx = jnp.zeros((T + 1, 3), jnp.int32)
+        tri_idx = tri_idx.at[tdest].set(tri_slots.reshape(A * 5, 3), mode="drop")[:T]
+
+        # --- pack everything into one fetchable f32 buffer ---------------
+        counts = jnp.stack([n_active, n_verts, total])
+        counts_f = jax.lax.bitcast_convert_type(counts, jnp.float32)[None, :]
+        tri_f = jax.lax.bitcast_convert_type(tri_idx, jnp.float32)
+        return jnp.concatenate([counts_f, verts, tri_f], axis=0)
+
+    jitted = jax.jit(impl)
+
+    def fn(origin, res, k0=np.float32(0), _jitted=jitted, _dev=device):
+        with jax.default_device(_dev):
+            return _jitted(jax.device_put(origin, _dev), _f32(res), _f32(k0))
+
+    _welded_cache[key] = fn
+    return fn
+
+
+def welded_render(tree, origin, res, shape, device, size_hint=None):
+    """One-dispatch, one-fetch indexed-mesh render.
+
+    Returns (verts (V,3) f32, tri_idx (T,3) i32, hint). Triangle soup is
+    verts[tri_idx] on host."""
+    nk, nj, ni = (int(x) for x in shape)
+    ncubes = (nk - 1) * (nj - 1) * (ni - 1)
+    if size_hint is None:
+        size_hint = _welded_cache.get(("hint", tree.tree_hash(), tuple(shape)))
+    if size_hint:
+        a_size, v_size, t_size = size_hint
+    else:
+        est = int(12 * ncubes ** (2 / 3)) + 4096
+        a_size = _bucket(min(est, ncubes))
+        v_size = _bucket(int(a_size * 1.5))
+        t_size = _bucket(int(a_size * 2.5))
+    origin = np.asarray(origin, _f32)
+    while True:
+        fn = build_welded_render(tree, shape, a_size, v_size, t_size, device)
+        packed = np.asarray(fn(jnp.asarray(origin), _f32(res)))
+        counts = packed[0].view(np.int32)
+        n_active, n_verts, total = (int(x) for x in counts)
+        ok = n_active <= a_size and n_verts <= v_size and total <= t_size
+        if ok:
+            hint = (_bucket(n_active), _bucket(n_verts), _bucket(total))
+            _welded_cache[("hint", tree.tree_hash(), tuple(shape))] = hint
+            verts = packed[1 : 1 + n_verts]
+            tri_idx = packed[1 + v_size : 1 + v_size + total].view(np.int32)
+            return verts.copy(), tri_idx.copy(), hint
+        if n_active > a_size:
+            a_size = _bucket(n_active)
+        if n_verts > v_size:
+            v_size = _bucket(n_verts)
+        if total > t_size:
+            t_size = _bucket(total)

@@ -75,7 +75,10 @@ def render_shader3d(obj: Shader3D, cfg: RenderConfig) -> dict:
     renderer = FlatRenderer(obj, cfg.resolution, device=device)
     log(f"[{_fmt_dur(lap())}] renderer init (grid {renderer.nx}x{renderer.ny}x{renderer.nz})")
 
-    tris = renderer.render()
+    # welded indexed path: minimal device->host payload; triangle count
+    # matches the soup path exactly, coordinates to the last ulp
+    verts, tri_idx = renderer.render_indexed()
+    tris = verts[tri_idx]
     dt_render = lap()
     stats["render_seconds"] = dt_render
     stats["triangles"] = len(tris)

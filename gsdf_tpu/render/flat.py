@@ -93,6 +93,21 @@ class FlatRenderer:
         tris, _ = marching_cubes_grid(grid, self.origin, self.res, self.device)
         return tris
 
+    def render_indexed(self):
+        """Render to an indexed mesh (verts (V,3) f32, tri_idx (T,3) i32)
+        via the welded single-dispatch kernel — the minimal-transfer
+        production path. Triangle count matches render(); vertex coords may
+        differ in the last ulp (canonical-edge vs per-cube interpolation)."""
+        from ..ops.fused_welded import welded_render
+
+        nk, nj, ni = self.nz + 1, self.ny + 1, self.nx + 1
+        self._evaluations += nk * nj * ni
+        verts, tri_idx, self._welded_hint = welded_render(
+            self.s, self.origin, self.res, (nk, nj, ni), self.device,
+            size_hint=getattr(self, "_welded_hint", None),
+        )
+        return verts, tri_idx
+
     # Cube count above which the fused path splits into z-slabs. Slab
     # pipelining does NOT help latency on remote-tunnel device links (the
     # link serializes dispatch+transfer; measured 690ms single-shot vs
