@@ -113,3 +113,31 @@ def render_png_file_2d(path, obj, width: int = 512, height: int = 512, device=No
     img = render_image_2d(obj, width, height, device=device)
     write_png(path, img)
     return img
+
+
+@dataclasses.dataclass
+class UIConfig:
+    """(reference gsdfaux.UIConfig, gsdfaux.go:49)."""
+
+    width: int = 800
+    height: int = 600
+    frames: int = 24
+    pitch: float = 0.5
+    gif_path: Optional[str] = None
+
+
+def ui(obj: Shader3D, cfg: UIConfig = UIConfig()):
+    """Headless counterpart of the reference's interactive raymarch UI
+    (gsdfaux.UI): renders an orbiting turntable of the part with the
+    TPU-side sphere tracer and optionally writes an animated GIF. Returns
+    the list of (H,W,3) frames."""
+    from ..visual.raymarch import turntable
+
+    return turntable(
+        obj,
+        n_frames=cfg.frames,
+        width=cfg.width,
+        height=cfg.height,
+        pitch=cfg.pitch,
+        gif_path=cfg.gif_path,
+    )

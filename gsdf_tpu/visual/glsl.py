@@ -136,6 +136,37 @@ float d2 = p.z-{_f(n.h)};
 return min(max(d1,d2),0.0)+length(max(vec2(d1,d2),0.0));"""
 
 
+from ..core import wrappers as _wrappers  # noqa: E402
+
+
+@emits(_wrappers.BoundsOverride3)
+def _(n, c):
+    return f"return {c[0]}(p);"
+
+
+@emits(_wrappers.BoundsOverride2)
+def _(n, c):
+    return f"return {c[0]}(p);"
+
+
+def format_glsl(src: str, indent: str = "    ") -> str:
+    """Pretty printer: re-indent GLSL by brace depth (reference
+    glbuild.FormatShader, glbuild.go:1384)."""
+    out = []
+    depth = 0
+    for raw in src.splitlines():
+        line = raw.strip()
+        if not line:
+            out.append("")
+            continue
+        # closing braces at line start dedent before printing
+        leading_closes = len(line) - len(line.lstrip("}"))
+        print_depth = max(0, depth - leading_closes)
+        out.append(indent * print_depth + line)
+        depth = max(0, depth + line.count("{") - line.count("}"))
+    return "\n".join(out)
+
+
 # 3D operations ---------------------------------------------------------
 @emits(ops3.OpUnion)
 def _(n, c):

@@ -129,3 +129,27 @@ def test_shadertoy_visual():
     assert "mainImage" in src
     assert "sceneSDF" in src
     assert "boxframe" in src  # bounds debug frame included
+
+
+def test_with_bounds_override():
+    from gsdf_tpu.core.wrappers import with_bounds
+    from gsdf_tpu.geometry import box3
+
+    s = bld.new_sphere(1.0)
+    o = with_bounds(s, box3(-2, -2, -2, 2, 2, 2))
+    assert o.bounds().max[0] == 2
+    assert o.tree_hash() != s.tree_hash()
+    src = emit_functions(o)
+    assert node_name(o) in src
+
+
+def test_format_glsl():
+    from gsdf_tpu.visual.glsl import format_glsl
+
+    src = "float f(vec3 p) {\nif (x) {\nreturn 1.0;\n}\nreturn 0.0;\n}"
+    out = format_glsl(src)
+    lines = out.splitlines()
+    assert lines[1].startswith("    if")
+    assert lines[2].startswith("        return")
+    assert lines[3] == "    }"
+    assert lines[5] == "}"
