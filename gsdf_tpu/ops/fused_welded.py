@@ -180,15 +180,27 @@ def build_welded_render(tree, shape, a_size, v_size, t_size, device):
         total = jnp.sum(valid.astype(jnp.int32))
         mask = valid.reshape(A * 5)
         tpos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        # gather-based compaction: scatter only the row permutation (1 i32
+        # per row), then gather the index triples
         tdest = jnp.where(mask, tpos, T)
-        tri_idx = jnp.zeros((T + 1, 3), jnp.int32)
-        tri_idx = tri_idx.at[tdest].set(tri_slots.reshape(A * 5, 3), mode="drop")[:T]
+        perm = jnp.zeros((T + 1,), jnp.int32)
+        perm = perm.at[tdest].set(
+            jnp.arange(A * 5, dtype=jnp.int32), mode="drop"
+        )[:T]
+        tri_idx = tri_slots.reshape(A * 5, 3)[perm]  # (T,3)
 
-        # --- pack everything into one fetchable f32 buffer ---------------
+        # bit-pack each triple into 2 words (21 bits per index, V < 2^21):
+        # w0 = i0 | low11(i1) << 21 ; w1 = high10(i1) | i2 << 10
+        i0, i1, i2 = tri_idx[:, 0], tri_idx[:, 1], tri_idx[:, 2]
+        w0 = i0 | ((i1 & 0x7FF) << 21)
+        w1 = (i1 >> 11) | (i2 << 10)
+        packed_tris = jnp.stack([w0, w1], axis=-1).reshape(-1)  # (2T,)
+
+        # --- pack everything into ONE fetchable 1-D f32 buffer -----------
         counts = jnp.stack([n_active, n_verts, total])
-        counts_f = jax.lax.bitcast_convert_type(counts, jnp.float32)[None, :]
-        tri_f = jax.lax.bitcast_convert_type(tri_idx, jnp.float32)
-        return jnp.concatenate([counts_f, verts, tri_f], axis=0)
+        counts_f = jax.lax.bitcast_convert_type(counts, jnp.float32)
+        tri_f = jax.lax.bitcast_convert_type(packed_tris, jnp.float32)
+        return jnp.concatenate([counts_f, verts.reshape(-1), tri_f])
 
     jitted = jax.jit(impl)
 
@@ -220,15 +232,20 @@ def welded_render(tree, origin, res, shape, device, size_hint=None):
     while True:
         fn = build_welded_render(tree, shape, a_size, v_size, t_size, device)
         packed = np.asarray(fn(jnp.asarray(origin), _f32(res)))
-        counts = packed[0].view(np.int32)
-        n_active, n_verts, total = (int(x) for x in counts)
+        n_active, n_verts, total = (int(x) for x in packed[:3].view(np.int32))
         ok = n_active <= a_size and n_verts <= v_size and total <= t_size
         if ok:
             hint = (_bucket(n_active), _bucket(n_verts), _bucket(total))
             _welded_cache[("hint", tree.tree_hash(), tuple(shape))] = hint
-            verts = packed[1 : 1 + n_verts]
-            tri_idx = packed[1 + v_size : 1 + v_size + total].view(np.int32)
-            return verts.copy(), tri_idx.copy(), hint
+            verts = packed[3 : 3 + 3 * n_verts].reshape(-1, 3).copy()
+            words = packed[3 + 3 * v_size : 3 + 3 * v_size + 2 * total].view(
+                np.int32
+            ).reshape(-1, 2)
+            i0 = words[:, 0] & 0x1FFFFF
+            i1 = ((words[:, 0] >> 21) & 0x7FF) | ((words[:, 1] & 0x3FF) << 11)
+            i2 = (words[:, 1] >> 10) & 0x1FFFFF
+            tri_idx = np.stack([i0, i1, i2], axis=-1).astype(np.int32)
+            return verts, tri_idx, hint
         if n_active > a_size:
             a_size = _bucket(n_active)
         if n_verts > v_size:
