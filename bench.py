@@ -59,7 +59,7 @@ def main():
 
     # warm-up: compile or load persistent cache
     _, ntris = run()
-    times = [run()[0] for _ in range(3)]
+    times = [run()[0] for _ in range(5)]  # link latency is noisy; median of 5
     value = statistics.median(times)
     baseline_ms = 706.0 + 371.0  # reference RX6800 render + STL write
     print(
