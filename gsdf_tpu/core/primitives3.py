@@ -11,7 +11,7 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
-from ..geometry.boxes import Box, centered_box3
+from ..geometry.boxes import Box
 from . import mathx as mx
 from .node import Shader3D
 

@@ -16,7 +16,7 @@ TPU-native replacement for the reference's gleval package:
 """
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

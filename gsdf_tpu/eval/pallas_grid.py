@@ -16,7 +16,7 @@ budget by lowering block sizes for such trees.
 """
 from __future__ import annotations
 
-import functools
+
 
 import jax
 import jax.numpy as jnp

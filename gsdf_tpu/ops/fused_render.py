@@ -20,7 +20,7 @@ cases with a non-empty triangle table.
 """
 from __future__ import annotations
 
-import functools
+
 
 import jax
 import jax.numpy as jnp

@@ -1,0 +1,48 @@
+"""Accelerator-vs-oracle parity (runs only when a non-CPU device exists;
+the CI mesh is CPU-only so these skip there — examples/acceptance.py is the
+full on-device harness)."""
+import numpy as np
+import pytest
+
+import jax
+
+
+def _accel():
+    devs = [d for d in jax.devices() if d.platform != "cpu"]
+    return devs[0] if devs else None
+
+
+requires_accel = pytest.mark.skipif(_accel() is None, reason="no accelerator")
+
+
+@requires_accel
+def test_cross_device_distances():
+    from gsdf_tpu import Builder
+    from gsdf_tpu.eval import new_sdf3
+
+    bld = Builder()
+    s = bld.smooth_difference(
+        0.1,
+        bld.union(bld.new_sphere(0.6), bld.new_box(0.8, 0.5, 0.9, 0.05)),
+        bld.new_cylinder(0.2, 3.0, 0.0),
+    )
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-1.2, 1.2, (4096, 3)).astype(np.float32)
+    d_cpu = new_sdf3(s, jax.devices("cpu")[0]).evaluate(pts)
+    d_acc = new_sdf3(s, _accel()).evaluate(pts)
+    # reference CPU<->GPU tolerance is 5e-3 (gsdf_test.go:529); ours is ulps
+    np.testing.assert_allclose(d_acc, d_cpu, atol=5e-3)
+    assert np.max(np.abs(d_acc - d_cpu)) < 1e-5
+
+
+@requires_accel
+def test_render_paths_agree_on_device():
+    from gsdf_tpu import Builder
+    from gsdf_tpu.render.flat import FlatRenderer
+
+    bld = Builder()
+    s = bld.new_sphere(0.7)
+    fr = FlatRenderer(s, 0.05, device=_accel())
+    tris = fr.render()
+    verts, idx = fr.render_indexed()
+    assert len(idx) == len(tris)

@@ -62,3 +62,30 @@ def test_dc_nonuniform_part():
     tris = dc.render()
     assert len(tris) > 1000
     assert np.all(np.isfinite(tris))
+
+
+def test_dc_bolt_stl(tmp_path):
+    """Full bolt through dual contouring to STL (reference
+    glrender_test.go:22-53)."""
+    import io
+
+    from gsdf_tpu.forge import threads
+    from gsdf_tpu.render.stl import read_binary_stl, write_binary_stl
+
+    b = threads.bolt(
+        bld,
+        threads.BoltParams(
+            thread=threads.ISO(d=3, p=0.5, ext=True),
+            style=threads.NutStyle.HEX,
+            total_length=5.0,
+            shank_length=2.0,
+        ),
+    )
+    res = b.bounds().diagonal() / 64
+    tris = DualContourRenderer(b, res, DualContourLeastSquares(chiseled=True)).render()
+    assert len(tris) > 1000
+    buf = io.BytesIO()
+    write_binary_stl(buf, tris)
+    buf.seek(0)
+    back = read_binary_stl(buf)
+    np.testing.assert_array_equal(tris, back)
