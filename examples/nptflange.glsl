@@ -1,11 +1,11 @@
-float cylinder_9352693b86(vec3 p) {
-float dx = length(p.xy)-0.5600752;
+float cylinder_873c5e0f8e(vec3 p) {
+float dx = length(p.xy)-0.5600753;
 float dy = abs(p.z)-0.21214971;
 return min(0.0,max(dx,dy))+length(max(vec2(dx,dy),0.0));
 }
 
-float polygon2d_c6d8edbc4c(vec2 p) {
-vec2 v[18] = vec2[18](vec2(0.071428575,0.0),vec2(0.071428575,0.42773238),vec2(0.04464286,0.38133815),vec2(0.04177425,0.37815225),vec2(0.03785782,0.37640855),vec2(0.03357075,0.37640855),vec2(0.029654322,0.37815225),vec2(0.026785715,0.38133815),vec2(0.004464286,0.42),vec2(-0.004464286,0.42),vec2(-0.026785715,0.38133815),vec2(-0.029654322,0.37815225),vec2(-0.03357075,0.37640855),vec2(-0.03785782,0.37640855),vec2(-0.04177425,0.37815225),vec2(-0.04464286,0.38133815),vec2(-0.071428575,0.42773238),vec2(-0.071428575,0.0));
+float polygon2d_b11ba5498d(vec2 p) {
+vec2 v[18] = vec2[18](vec2(0.071428575,0.0),vec2(0.071428575,0.42773238),vec2(0.04464286,0.38133815),vec2(0.04177425,0.37815225),vec2(0.03785782,0.37640852),vec2(0.033570755,0.37640852),vec2(0.029654324,0.37815225),vec2(0.026785715,0.38133815),vec2(0.004464286,0.42),vec2(-0.004464286,0.42),vec2(-0.026785715,0.38133815),vec2(-0.029654324,0.37815225),vec2(-0.033570755,0.37640852),vec2(-0.03785782,0.37640852),vec2(-0.04177425,0.37815225),vec2(-0.04464286,0.38133815),vec2(-0.071428575,0.42773238),vec2(-0.071428575,0.0));
 float d = dot(p-v[0],p-v[0]);
 float s = 1.0;
 for (int i=0, j=17; i<18; j=i, i++) {
@@ -19,18 +19,18 @@ for (int i=0, j=17; i<18; j=i, i++) {
 return s*sqrt(d);
 }
 
-float screwnode_6996c8862b(vec3 p) {
+float screwnode_b69b6327f5(vec3 p) {
 float y = length(p.xy) + p.z*0.03125;
 float theta = atan(p.y,p.x);
 float z = p.z + -0.071428575*theta/6.283185307179586;
 float t = (z+0.035714287)/0.071428575;
 float x = 0.071428575*(t-floor(t))-0.035714287;
-float d2 = polygon2d_c6d8edbc4c(vec2(x,y));
+float d2 = polygon2d_b11ba5498d(vec2(x,y));
 return max(d2, abs(p.z)-0.2142712);
 }
 
-float difference_6d7c0f8f57(vec3 p) {
-return max(cylinder_9352693b86(p),-screwnode_6996c8862b(p));
+float difference_cf3c25f56b(vec3 p) {
+return max(cylinder_873c5e0f8e(p),-screwnode_b69b6327f5(p));
 }
 
 float cylinder_a15d6bcc72(vec3 p) {
@@ -43,8 +43,8 @@ float translate_4ff539e5bf(vec3 p) {
 return cylinder_a15d6bcc72(p-vec3(0.0,0.0,-0.35433072));
 }
 
-float smoothunion_9af00aaebd(vec3 p) {
-float a = difference_6d7c0f8f57(p);
+float smoothunion_b232df8f4b(vec3 p) {
+float a = difference_cf3c25f56b(p);
 float b = translate_4ff539e5bf(p);
 float h = clamp(0.5+0.5*(b-a)/0.2,0.0,1.0);
 return mix(b,a,h)-0.2*h*(1.0-h);
@@ -56,17 +56,17 @@ float dy = abs(p.z)-0.5511811;
 return min(0.0,max(dx,dy))+length(max(vec2(dx,dy),0.0));
 }
 
-float difference_c188483726(vec3 p) {
-return max(smoothunion_9af00aaebd(p),-cylinder_ff1c1b06b8(p));
+float difference_cf43e7911c(vec3 p) {
+return max(smoothunion_b232df8f4b(p),-cylinder_ff1c1b06b8(p));
 }
 
-float scale_f171193e95(vec3 p) {
-return difference_c188483726(p/25.4)*25.4;
+float scale_6e0a27c40a(vec3 p) {
+return difference_cf43e7911c(p/25.4)*25.4;
 }
 // ---- visualizer (sphere tracer) ----
 float sceneSDF(vec3 p) {
     // center and scale the part to unit size for viewing
-    return scale_f171193e95(p*30.0+vec3(0.0,0.0,-3.5556986))/30.0;
+    return scale_6e0a27c40a(p*30.0+vec3(0.0,0.0,-3.5556986))/30.0;
 }
 
 vec3 sceneNormal(vec3 p) {

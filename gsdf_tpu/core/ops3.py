@@ -27,9 +27,20 @@ def _round_half_away(x):
 
 
 class OpUnion(Shader3D):
-    """n-ary exact union (cpu_evaluators.go:124, operations.go:27)."""
+    """n-ary exact union (cpu_evaluators.go:124, operations.go:27).
+
+    Trace-size optimization: children that are Translate nodes of the SAME
+    subtree (e.g. 130 displaced hole cylinders) are evaluated through one
+    `lax.scan` over their offsets — the subtree is traced once instead of
+    once per instance, keeping compile time and program size O(1) in the
+    instance count. float32 min is exact/associative, so results are
+    bit-identical to the sequential reduction.
+    """
 
     CHILDREN = ()  # dynamic; see children()
+
+    #: minimum identical-translate group size for the scan rewrite
+    SCAN_THRESHOLD = 4
 
     def __init__(self, joined):
         if len(joined) < 2:
@@ -40,9 +51,34 @@ class OpUnion(Shader3D):
         return self.joined
 
     def distance(self, p):
-        d = self.joined[0].distance(p)
-        for s in self.joined[1:]:
-            d = jnp.minimum(d, s.distance(p))
+        import jax
+
+        groups: dict = {}
+        ordered = []  # (kind, payload) preserving degradation to sequential
+        for s in self.joined:
+            if isinstance(s, Translate):
+                groups.setdefault(s.s.tree_hash(), []).append(s)
+            else:
+                ordered.append(s)
+        d = None
+        for nodes in groups.values():
+            if len(nodes) >= self.SCAN_THRESHOLD:
+                child = nodes[0].s
+                offsets = jnp.asarray(
+                    np.stack([n.p_ for n in nodes]).astype(np.float32)
+                )  # (G,3)
+
+                def body(carry, off, _child=child):
+                    return jnp.minimum(carry, _child.distance(p - off)), None
+
+                init = jnp.full(p.shape[:-1], mx.LARGENUM, dtype=jnp.float32)
+                dg, _ = jax.lax.scan(body, init, offsets)
+                d = dg if d is None else jnp.minimum(d, dg)
+            else:
+                ordered.extend(nodes)
+        for s in ordered:
+            ds = s.distance(p)
+            d = ds if d is None else jnp.minimum(d, ds)
         return d
 
     def bounds(self) -> Box:

@@ -31,7 +31,11 @@ SQRT3 = 1.7320508075688772935274463415058723669428052538103806280558
 
 @dataclasses.dataclass
 class Parameters:
-    """Thread parameters (reference threads.go:33-50)."""
+    """Thread parameters (reference threads.go:33-50).
+
+    Derived quantities are computed in float32 steps, matching the
+    reference's Go float32 arithmetic bit-for-bit (parameter chains feed
+    node constants; 1-ulp differences move marginal surface cubes)."""
 
     name: str = "basic"
     radius: float = 0.0  # nominal major radius of screw
@@ -41,10 +45,10 @@ class Parameters:
     hex_f2f: float = 0.0  # hex head flat-to-flat distance
 
     def hex_radius(self) -> float:
-        return self.hex_f2f / (2.0 * COSD30)
+        return float(_f32(self.hex_f2f) / (_f32(2.0) * _f32(COSD30)))
 
     def hex_height(self) -> float:
-        return 2.0 * self.hex_radius() * (5.0 / 12.0)
+        return float(_f32(2.0) * _f32(self.hex_radius()) * (_f32(5.0) / _f32(12.0)))
 
 
 class Threader:

@@ -7,6 +7,10 @@ import dataclasses
 import enum
 import math
 
+import numpy as np
+
+_f32 = np.float32
+
 from ...core.node import Shader2D, Shader3D
 from ...geometry.polygon import PolygonBuilder
 from .core import COSD30, Parameters, Threader, screw
@@ -176,10 +180,11 @@ def nut(bld, k: NutParams) -> Shader3D:
     elif k.style == NutStyle.KNURL:
         body = knurled_head(bld, nr, nh, nr * 0.25)
     elif k.style == NutStyle.CIRCULAR:
-        body = bld.new_cylinder(nr * 1.1, nh, 0)
+        # float32 steps match the reference's Go arithmetic (nut.go:70,77)
+        body = bld.new_cylinder(float(_f32(nr) * _f32(1.1)), nh, 0)
     else:
         raise ValueError("unknown NutStyle for nut")
-    thread = screw(bld, nh * (1 + 1e-2), k.thread)
+    thread = screw(bld, float(_f32(nh) * _f32(1 + 1e-2)), k.thread)
     return bld.difference(body, thread)
 
 

@@ -64,8 +64,14 @@ class NPT(Threader):
     tpi: float = 0.0  # threads per inch
     f2f: float = 0.0  # hex flat-to-flat (settable from nominal table)
 
+    def _pitch(self) -> float:
+        # f32 division like the reference's `1.0 / npt.TPI` (npt.go:27)
+        import numpy as np
+
+        return float(np.float32(1.0) / np.float32(self.tpi))
+
     def thread_params(self) -> Parameters:
-        p = ISO(d=self.d, p=1.0 / self.tpi).thread_params()
+        p = ISO(d=self.d, p=self._pitch()).thread_params()
         p.name = "NPT"
         p.taper = math.atan(1.0 / 32.0)  # standard NPT taper
         if self.f2f > 0:
@@ -73,7 +79,7 @@ class NPT(Threader):
         return p
 
     def thread(self, bld):
-        return ISO(d=self.d, p=1.0 / self.tpi).thread(bld)
+        return ISO(d=self.d, p=self._pitch()).thread(bld)
 
     # nominal, major diameter, TPI, hex flat-to-flat (npt.go:40-55)
     _LOOKUP = [

@@ -294,3 +294,20 @@ def test_smooth_ops_bounds():
             "PaddedShader", (PaddedBounds, Shader3D), {}
         )
         assert_bounds_valid_3d(wrapped, n=4)
+
+
+def test_union_scan_grouping_exact():
+    """Grouped-translate unions (lax.scan path) must match the sequential
+    reduction bit-exactly (float min is exact)."""
+    hole = bld.new_cylinder(0.08, 2.0, 0.0)
+    rng2 = np.random.default_rng(5)
+    offs = rng2.uniform(-1, 1, (12, 3)).astype(np.float32)
+    translated = [bld.translate(hole, *o) for o in offs]
+    u = bld.union(bld.new_sphere(0.3), *translated)
+    assert len(u.joined) == 13
+    pts = rng2.uniform(-1.5, 1.5, (512, 3)).astype(np.float32)
+    got = _eval(u, pts)
+    want = _eval(bld.new_sphere(0.3), pts)
+    for t in translated:
+        want = np.minimum(want, _eval(t, pts))
+    np.testing.assert_array_equal(got, want)
