@@ -287,17 +287,31 @@ class Ellipse2D(Shader2D):
 
 class Polygon2D(Shader2D):
     """Winding-number polygon (cpu_evaluators.go:793, primitives2d.go:459;
-    https://www.shadertoy.com/view/wdBXRW). Vectorized over all edges at
-    once: the per-edge loop becomes a broadcast + reductions."""
+    https://www.shadertoy.com/view/wdBXRW).
+
+    Small polygons vectorize over all edges at once (one broadcast).
+    Larger polygons scan over edges with `lax.scan` so peak memory stays
+    O(points) instead of O(points * edges) — results are bit-identical
+    (min and the winding flip count are order-independent)."""
 
     PARAMS = ("vert",)
+
+    #: edge count above which the scan (O(points)-memory) path is used
+    SCAN_THRESHOLD = 8
 
     def __init__(self, vertices):
         self.vert = np.asarray(vertices, dtype=_f32).reshape(-1, 2)
 
     def distance(self, p):
-        v1 = jnp.asarray(self.vert)  # (V,2) current vertex
-        v2 = jnp.asarray(np.roll(self.vert, 1, axis=0))  # (V,2) previous vertex
+        v1n = self.vert  # (V,2) current vertex
+        v2n = np.roll(self.vert, 1, axis=0)  # (V,2) previous vertex
+        if len(v1n) <= self.SCAN_THRESHOLD:
+            return self._distance_broadcast(p, v1n, v2n)
+        return self._distance_scan(p, v1n, v2n)
+
+    def _distance_broadcast(self, p, v1n, v2n):
+        v1 = jnp.asarray(v1n)
+        v2 = jnp.asarray(v2n)
         e = v2 - v1
         w = p[..., None, :] - v1  # (...,V,2)
         ee = jnp.sum(e * e, axis=-1)
@@ -311,6 +325,38 @@ class Polygon2D(Shader2D):
         b3 = e[:, 0] * w[..., 1] > e[:, 1] * w[..., 0]
         flip = (b1 & b2 & b3) | (~b1 & ~b2 & ~b3)
         nflips = jnp.sum(flip, axis=-1)
+        s = jnp.where(nflips % 2 == 1, -1.0, 1.0).astype(jnp.float32)
+        return s * jnp.sqrt(d)
+
+    def _distance_scan(self, p, v1n, v2n):
+        import jax
+
+        edges = jnp.asarray(
+            np.concatenate([v1n, v2n], axis=1).astype(np.float32)
+        )  # (V,4): v1x v1y v2x v2y
+        px = p[..., 0]
+        py = p[..., 1]
+
+        def body(carry, edge):
+            d, nflips = carry
+            v1x, v1y, v2x, v2y = edge[0], edge[1], edge[2], edge[3]
+            ex, ey = v2x - v1x, v2y - v1y
+            wx, wy = px - v1x, py - v1y
+            ee = ex * ex + ey * ey
+            h = mx.clamp((wx * ex + wy * ey) / ee, 0.0, 1.0)
+            bx, by = wx - h * ex, wy - h * ey
+            d = jnp.minimum(d, bx * bx + by * by)
+            b1 = py >= v1y
+            b2 = py < v2y
+            b3 = ex * wy > ey * wx
+            flip = (b1 & b2 & b3) | (~b1 & ~b2 & ~b3)
+            return (d, nflips + flip.astype(jnp.int32)), None
+
+        init = (
+            jnp.full(p.shape[:-1], np.float32(np.inf), dtype=jnp.float32),
+            jnp.zeros(p.shape[:-1], dtype=jnp.int32),
+        )
+        (d, nflips), _ = jax.lax.scan(body, init, edges)
         s = jnp.where(nflips % 2 == 1, -1.0, 1.0).astype(jnp.float32)
         return s * jnp.sqrt(d)
 
