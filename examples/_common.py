@@ -15,6 +15,10 @@ def example_args(resdiv_default=200, **extra):
         help="bounding-diagonal divisions",
     )
     ap.add_argument("--cpu", action="store_true", help="render on host CPU")
+    ap.add_argument(
+        "--pruned", action="store_true",
+        help="use the pruned tile renderer (octree-equivalent)",
+    )
     ap.add_argument("--out", default=None, help="output STL path")
     for name, (default, help_) in extra.items():
         ap.add_argument(f"--{name}", type=type(default), default=default, help=help_)
@@ -26,6 +30,26 @@ def render_stl(obj, name, args, visual=True):
 
     res = args.res or obj.bounds().diagonal() / args.resdiv
     out = args.out or f"{name}.stl"
+    if getattr(args, "pruned", False):
+        import time
+
+        import jax
+
+        from gsdf_tpu.render import PrunedRenderer, write_stl_file
+
+        device = jax.devices("cpu")[0] if args.cpu else None
+        pr = PrunedRenderer(obj, res, device=device)
+        t0 = time.monotonic()
+        tris = pr.render()
+        dt = time.monotonic() - t0
+        write_stl_file(out, tris)
+        pct = 100.0 * pr.total_pruned() / max(pr.total_pruned() + pr.evaluations(), 1)
+        print(
+            f"[{dt:.3f}s] pruned render: {pr.evaluations()} evals "
+            f"({pct:.1f}% of fine evals pruned) -> {len(tris)} triangles"
+        )
+        print(f"finished {name}: {len(tris)} triangles -> {out}")
+        return {"triangles": len(tris), "evaluations": pr.evaluations()}
     with open(out, "wb") as f:
         vis_file = None
         try:

@@ -29,6 +29,31 @@ def scene(bld: Builder):
 
 
 if __name__ == "__main__":
+    import sys
+
+    use_dc = "--dc" in sys.argv
+    if use_dc:
+        sys.argv.remove("--dc")
     args = example_args(resdiv_default=400)
     bld = Builder()
-    render_stl(scene(bld), "uitext", args)
+    obj = scene(bld)
+    if use_dc:
+        # dual-contouring vertex placement (BASELINE config:
+        # "ui-text at resdiv 800, dual-contouring vertex placement")
+        import time
+
+        from gsdf_tpu.render import DualContourLeastSquares, DualContourRenderer
+        from gsdf_tpu.render.stl import write_stl_file
+
+        res = args.res or obj.bounds().diagonal() / args.resdiv
+        dc = DualContourRenderer(obj, res, DualContourLeastSquares(chiseled=True))
+        t0 = time.monotonic()
+        tris = dc.render()
+        dt = time.monotonic() - t0
+        write_stl_file("uitext-dc.stl", tris)
+        print(
+            f"finished uitext (dual contour): {len(tris)} triangles in "
+            f"{dt:.1f}s ({dc.evaluations()} evals) -> uitext-dc.stl"
+        )
+    else:
+        render_stl(obj, "uitext", args)

@@ -27,6 +27,9 @@ class RenderConfig:
     resolution: float = 0.0
     use_gpu: bool = True  # on TPU builds this selects the accelerator device
     silent: bool = False
+    #: accepted for API parity with the reference's BlockCachedSDF3 option;
+    #: the fused device path evaluates each grid corner exactly once, so a
+    #: voxel memo cache cannot reduce work and the flag is a no-op.
     enable_caching: bool = False
     device: object = None
 

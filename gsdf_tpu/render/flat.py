@@ -97,10 +97,17 @@ class FlatRenderer:
         """Render to an indexed mesh (verts (V,3) f32, tri_idx (T,3) i32)
         via the welded single-dispatch kernel — the minimal-transfer
         production path. Triangle count matches render(); vertex coords may
-        differ in the last ulp (canonical-edge vs per-cube interpolation)."""
+        differ in the last ulp (canonical-edge vs per-cube interpolation).
+
+        Grids beyond the memory threshold fall back to the slabbed soup
+        path and weld on host."""
+        nk, nj, ni = self.nz + 1, self.ny + 1, self.nx + 1
+        if nk * nj * ni > self.slab_cubes:
+            from ..native import weld
+
+            return weld(self.render(), tol=0.0)
         from ..ops.fused_welded import welded_render
 
-        nk, nj, ni = self.nz + 1, self.ny + 1, self.nx + 1
         self._evaluations += nk * nj * ni
         verts, tri_idx, self._welded_hint = welded_render(
             self.s, self.origin, self.res, (nk, nj, ni), self.device,
