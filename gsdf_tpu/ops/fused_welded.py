@@ -166,14 +166,18 @@ def build_welded_render(tree, shape, a_size, v_size, t_size, device):
         ok = jnp.minimum(ck[:, None] + elow[None, :, 2], nz - 1)
         owner_lin = (ok * ny + oj) * nx + oi  # (A,12)
         owner_slot = cube_slot[owner_lin]  # (A,12)
-        edge_vert = vert_slot[owner_slot, eax[None, :]]  # (A,12)
+        # vert_slot[owner, axis] via flat gather (avoids 2-array indexing)
+        edge_vert = vert_slot.reshape(-1)[owner_slot * 3 + eax[None, :]]  # (A,12)
 
         table = jnp.asarray(MC_TRI_TABLE)[idx8]  # (A,5,3)
         tcounts = jnp.asarray(MC_TRI_COUNT)[idx8]
         te = jnp.maximum(table, 0)
-        tri_slots = jnp.take_along_axis(
-            edge_vert[:, None, :].repeat(5, axis=1), te, axis=2
-        )[:, :, ::-1]  # (A,5,3), reference winding reversal
+        # tri_slots[a,s,j] = edge_vert[a, te[a,s,j]] via flat gather (no
+        # (A,5,12) materialization)
+        tgidx = (
+            jax.lax.broadcasted_iota(jnp.int32, (A, 5, 3), 0) * 12 + te
+        ).reshape(-1)
+        tri_slots = edge_vert.reshape(-1)[tgidx].reshape(A, 5, 3)[:, :, ::-1]
 
         slot = jax.lax.broadcasted_iota(jnp.int32, (A, 5), 1)
         valid = (slot < tcounts[:, None]) & valid_cube[:, None]
@@ -235,7 +239,12 @@ def welded_render(tree, origin, res, shape, device, size_hint=None):
         n_active, n_verts, total = (int(x) for x in packed[:3].view(np.int32))
         ok = n_active <= a_size and n_verts <= v_size and total <= t_size
         if ok:
-            hint = (_bucket(n_active), _bucket(n_verts), _bucket(total))
+            # fine granularity: emit cost and payload scale with these
+            hint = (
+                _bucket(n_active, granule=16384),
+                _bucket(n_verts, granule=16384),
+                _bucket(total, granule=16384),
+            )
             _welded_cache[("hint", tree.tree_hash(), tuple(shape))] = hint
             verts = packed[3 : 3 + 3 * n_verts].reshape(-1, 3).copy()
             words = packed[3 + 3 * v_size : 3 + 3 * v_size + 2 * total].view(
@@ -247,8 +256,8 @@ def welded_render(tree, origin, res, shape, device, size_hint=None):
             tri_idx = np.stack([i0, i1, i2], axis=-1).astype(np.int32)
             return verts, tri_idx, hint
         if n_active > a_size:
-            a_size = _bucket(n_active)
+            a_size = _bucket(n_active, granule=16384)
         if n_verts > v_size:
-            v_size = _bucket(n_verts)
+            v_size = _bucket(n_verts, granule=16384)
         if total > t_size:
-            t_size = _bucket(total)
+            t_size = _bucket(total, granule=16384)
