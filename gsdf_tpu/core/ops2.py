@@ -87,6 +87,7 @@ class Extrusion(Shader3D):
     """2D -> 3D extrusion along z (cpu_evaluators.go:506, operations2d.go:104)."""
 
     PARAMS = ("h",)
+    CONT_PARAMS = ("h",)
     CHILDREN = ("s",)
 
     def __init__(self, s: Shader2D, h):
@@ -114,6 +115,7 @@ class Revolution(Shader3D):
     """Revolve 2D shape about y axis (cpu_evaluators.go:533, operations2d.go:153)."""
 
     PARAMS = ("off",)
+    CONT_PARAMS = ("off",)
     CHILDREN = ("s",)
 
     def __init__(self, s: Shader2D, off):
@@ -138,6 +140,7 @@ class Array2D(Shader2D):
     """Limited 2D grid repetition (cpu_evaluators.go:914, operations2d.go:332)."""
 
     PARAMS = ("d", "nx", "ny")
+    CONT_PARAMS = ("d",)
     CHILDREN = ("s",)
 
     def __init__(self, s, d, nx, ny):
@@ -166,6 +169,7 @@ class Array2D(Shader2D):
 
 class Offset2D(Shader2D):
     PARAMS = ("f",)
+    CONT_PARAMS = ("f",)
     CHILDREN = ("s",)
 
     def __init__(self, s, f):
@@ -185,6 +189,7 @@ class Offset2D(Shader2D):
 
 class Translate2D(Shader2D):
     PARAMS = ("p_",)
+    CONT_PARAMS = ("p_",)
     CHILDREN = ("s",)
 
     def __init__(self, s, v):
@@ -202,6 +207,7 @@ class Rotation2D(Shader2D):
     """(cpu_evaluators.go:1186, operations2d.go:495)."""
 
     PARAMS = ("t",)
+    CONT_PARAMS = ("t", "t_inv")
     CHILDREN = ("s",)
 
     def __init__(self, s, theta):
@@ -249,6 +255,7 @@ class Annulus2D(Shader2D):
     """2D shell (cpu_evaluators.go:1026, operations2d.go:606)."""
 
     PARAMS = ("r",)
+    CONT_PARAMS = ("r",)
     CHILDREN = ("s",)
 
     def __init__(self, s, r):
@@ -308,6 +315,7 @@ class CircularArray2D(Shader2D):
 
 class Scale2D(Shader2D):
     PARAMS = ("factor",)
+    CONT_PARAMS = ("factor",)
     CHILDREN = ("s",)
 
     def __init__(self, s, factor):
@@ -351,6 +359,7 @@ class TranslateMulti2D(Shader2D):
 
 class Elongate2D(Shader2D):
     PARAMS = ("h",)
+    CONT_PARAMS = ("h",)
     CHILDREN = ("s",)
 
     def __init__(self, s, h):

@@ -64,8 +64,9 @@ class OpUnion(Shader3D):
         for nodes in groups.values():
             if len(nodes) >= self.SCAN_THRESHOLD:
                 child = nodes[0].s
-                offsets = jnp.asarray(
-                    np.stack([n.p_ for n in nodes]).astype(np.float32)
+                # jnp.stack: offsets may be tracers under parametric binding
+                offsets = jnp.stack(
+                    [jnp.asarray(n.p_, dtype=jnp.float32) for n in nodes]
                 )  # (G,3)
 
                 def body(carry, off, _child=child):
@@ -139,6 +140,7 @@ class SmoothUnion(Shader3D):
     """(cpu_evaluators.go:213, operations.go:563)."""
 
     PARAMS = ("k",)
+    CONT_PARAMS = ("k",)
     CHILDREN = ("s1", "s2")
 
     def __init__(self, k, s1, s2):
@@ -160,6 +162,7 @@ class SmoothDifference(Shader3D):
     """(cpu_evaluators.go:238, operations.go:611)."""
 
     PARAMS = ("k",)
+    CONT_PARAMS = ("k",)
     CHILDREN = ("s1", "s2")
 
     def __init__(self, k, s1, s2):
@@ -181,6 +184,7 @@ class SmoothIntersect(Shader3D):
     """(cpu_evaluators.go:263, operations.go:643)."""
 
     PARAMS = ("k",)
+    CONT_PARAMS = ("k",)
     CHILDREN = ("s1", "s2")
 
     def __init__(self, k, s1, s2):
@@ -202,6 +206,7 @@ class Scale(Shader3D):
     """Uniform scale about origin (cpu_evaluators.go:288, operations.go:248)."""
 
     PARAMS = ("factor",)
+    CONT_PARAMS = ("factor",)
     CHILDREN = ("s",)
 
     def __init__(self, s, factor):
@@ -249,6 +254,7 @@ class Transform(Shader3D):
     """4x4 matrix transform (cpu_evaluators.go:488, operations.go:340)."""
 
     PARAMS = ("t",)
+    CONT_PARAMS = ("t", "t_inv")
     CHILDREN = ("s",)
 
     def __init__(self, s, t: np.ndarray):
@@ -273,6 +279,7 @@ class Translate(Shader3D):
     """(cpu_evaluators.go:470, operations.go:403)."""
 
     PARAMS = ("p_",)
+    CONT_PARAMS = ("p_",)
     CHILDREN = ("s",)
 
     def __init__(self, s, v):
@@ -290,6 +297,7 @@ class Offset(Shader3D):
     """Add sdfAdd to the SDF (cpu_evaluators.go:454, operations.go:446)."""
 
     PARAMS = ("off",)
+    CONT_PARAMS = ("off",)
     CHILDREN = ("s",)
 
     def __init__(self, s, off):
@@ -312,6 +320,7 @@ class Array(Shader3D):
     loop (operations.go:542-551)."""
 
     PARAMS = ("d", "nx", "ny", "nz")
+    CONT_PARAMS = ("d",)
     CHILDREN = ("s",)
 
     def __init__(self, s, d, nx, ny, nz):
@@ -344,6 +353,7 @@ class Elongate(Shader3D):
     """(cpu_evaluators.go:399, operations.go:679)."""
 
     PARAMS = ("h",)
+    CONT_PARAMS = ("h",)
     CHILDREN = ("s",)
 
     def __init__(self, s, h):
@@ -366,6 +376,7 @@ class Shell(Shader3D):
     """Exterior shell (cpu_evaluators.go:428, operations.go:723)."""
 
     PARAMS = ("thick",)
+    CONT_PARAMS = ("thick",)
     CHILDREN = ("s",)
 
     def __init__(self, s, thickness):
@@ -440,6 +451,7 @@ class Twist(Shader3D):
     (cpu_evaluators.go:1257, operations.go:835)."""
 
     PARAMS = ("k",)
+    CONT_PARAMS = ("k",)
     CHILDREN = ("s",)
 
     def __init__(self, s, k):

@@ -24,6 +24,7 @@ class Circle(Shader2D):
     """(cpu_evaluators.go:661, primitives2d.go:228)."""
 
     PARAMS = ("r",)
+    CONT_PARAMS = ("r",)
 
     def __init__(self, r):
         self.r = _f32(r)
@@ -123,6 +124,7 @@ class EquilateralTriangle(Shader2D):
     """(cpu_evaluators.go:669, primitives2d.go:266)."""
 
     PARAMS = ("h_tri",)
+    CONT_PARAMS = ("h_tri",)
 
     def __init__(self, h_tri):
         self.h_tri = _f32(h_tri)
@@ -155,6 +157,7 @@ class Rectangle(Shader2D):
     """(cpu_evaluators.go:685, primitives2d.go:308)."""
 
     PARAMS = ("d",)
+    CONT_PARAMS = ("d",)
 
     def __init__(self, d):
         self.d = np.asarray(d, dtype=_f32)
@@ -175,6 +178,7 @@ class Hexagon2D(Shader2D):
     """(cpu_evaluators.go:718, primitives2d.go:349)."""
 
     PARAMS = ("side",)
+    CONT_PARAMS = ("side",)
 
     def __init__(self, side):
         self.side = _f32(side)
@@ -202,6 +206,7 @@ class Octagon2D(Shader2D):
     """(cpu_evaluators.go:731, primitives2d.go:386)."""
 
     PARAMS = ("c",)
+    CONT_PARAMS = ("c",)
 
     def __init__(self, constrain):
         self.c = _f32(constrain)
@@ -232,6 +237,7 @@ class Ellipse2D(Shader2D):
     primitives2d.go:422; https://iquilezles.org/articles/ellipsedist)."""
 
     PARAMS = ("a", "b")
+    CONT_PARAMS = ("a", "b")
 
     def __init__(self, a, b):
         self.a = _f32(a)
@@ -368,6 +374,7 @@ class Diamond2D(Shader2D):
     """(cpu_evaluators.go:694, primitives2d.go:561)."""
 
     PARAMS = ("d",)
+    CONT_PARAMS = ("d",)
 
     def __init__(self, d):
         self.d = np.asarray(d, dtype=_f32)
@@ -391,6 +398,7 @@ class RoundedX2D(Shader2D):
     """(cpu_evaluators.go:705, primitives2d.go:603)."""
 
     PARAMS = ("dim", "thick")
+    CONT_PARAMS = ("dim", "thick")
 
     def __init__(self, width, thick):
         self.dim = _f32(width)

@@ -22,6 +22,7 @@ class Sphere(Shader3D):
     """Sphere centered at origin (cpu_evaluators.go:20, primitives.go:28)."""
 
     PARAMS = ("r",)
+    CONT_PARAMS = ("r",)
 
     def __init__(self, r: float):
         self.r = _f32(r)
@@ -38,6 +39,7 @@ class BoxShape(Shader3D):
     """Round-edged box (cpu_evaluators.go:28, primitives.go:65)."""
 
     PARAMS = ("dims", "round")
+    CONT_PARAMS = ("dims", "round")
 
     def __init__(self, dims, round: float):
         self.dims = np.asarray(dims, dtype=_f32)
@@ -58,6 +60,7 @@ class BoxFrame(Shader3D):
     """Framed box of beam half-thickness e (cpu_evaluators.go:38, primitives.go:254)."""
 
     PARAMS = ("dims", "e")
+    CONT_PARAMS = ("dims", "e")
 
     def __init__(self, dims, e: float):
         self.dims = np.asarray(dims, dtype=_f32)
@@ -95,6 +98,7 @@ class Torus(Shader3D):
     """Torus with axis in z (cpu_evaluators.go:59, primitives.go:216)."""
 
     PARAMS = ("r_lesser", "r_greater")
+    CONT_PARAMS = ("r_lesser", "r_greater")
 
     def __init__(self, r_greater: float, r_lesser: float):
         self.r_greater = _f32(r_greater)
@@ -116,6 +120,7 @@ class Cylinder(Shader3D):
     (cpu_evaluators.go:70, primitives.go:107)."""
 
     PARAMS = ("r", "h", "round")
+    CONT_PARAMS = ("r", "h")
 
     def __init__(self, r: float, h: float, round: float):
         self.r = _f32(r)
@@ -153,6 +158,7 @@ class HexagonalPrism(Shader3D):
     Height spans [-h, h]."""
 
     PARAMS = ("side", "h")
+    CONT_PARAMS = ("side", "h")
 
     def __init__(self, side: float, h: float):
         self.side = _f32(side)

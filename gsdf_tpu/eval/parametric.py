@@ -1,0 +1,183 @@
+"""Parametric evaluation: trade constants for operands so edited dimensions
+re-render WITHOUT recompiling.
+
+The default pipeline embeds node parameters as XLA constants (as the
+reference embeds GLSL literals): best runtime code, but editing any
+dimension is a new tree, hence a new compile. This module implements SURVEY
+§7's mitigation — "parameters-as-arrays": a tree's *continuous* parameters
+(declared per node class via `CONT_PARAMS`) are packed into one flat f32
+operand; the distance function is traced once per tree STRUCTURE, and any
+structurally-identical tree (same ops, same polygon sizes — different radii,
+offsets, blend-k, twists...) evaluates through the same executable.
+
+Structural parameters (anything used in Python control flow or host-side
+trig at trace time — cylinder rounding mode, arc angles, polygon vertices)
+stay baked; swapping them recompiles as before.
+
+Usage:
+    psdf = ParametricSDF3(tree)          # compile once
+    d    = psdf.evaluate(pts)            # uses tree's current params
+    d2   = psdf.evaluate(pts, tree2)     # tree2: same structure, new values
+"""
+from __future__ import annotations
+
+import contextlib
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.node import Shader, Shader2D, Shader3D, _param_bytes
+
+_f32 = np.float32
+
+
+def _cont_params(node: Shader) -> Tuple[str, ...]:
+    return getattr(node, "CONT_PARAMS", ())
+
+
+def param_spec(tree: Shader) -> List[Tuple[Shader, str, tuple]]:
+    """(node, attr, shape) for every continuous parameter, BFS order.
+
+    Shared subtrees (the same node object reachable through several
+    parents) contribute their parameters ONCE."""
+    spec = []
+    seen = set()
+    for node in tree.visit_bfs():
+        if id(node) in seen:
+            continue
+        seen.add(id(node))
+        for name in _cont_params(node):
+            val = np.asarray(getattr(node, name), _f32)
+            spec.append((node, name, val.shape))
+    return spec
+
+
+def pack_params(tree: Shader) -> np.ndarray:
+    """Flatten the tree's current continuous parameters to one f32 vector."""
+    parts = [
+        np.asarray(getattr(node, name), _f32).reshape(-1)
+        for node, name, _ in param_spec(tree)
+    ]
+    if not parts:
+        return np.zeros(1, _f32)
+    return np.concatenate(parts)
+
+
+def structural_hash(tree: Shader) -> bytes:
+    """Like tree_hash but with continuous parameter VALUES masked (shapes
+    kept): the parametric compile-cache key."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+
+    def visit(n: Shader):
+        h.update(type(n).__qualname__.encode())
+        cont = set(_cont_params(n))
+        for name in n.PARAMS:
+            h.update(name.encode())
+            if name in cont:
+                h.update(str(np.asarray(getattr(n, name), _f32).shape).encode())
+            else:
+                h.update(_param_bytes(getattr(n, name)))
+        for c in n.children():
+            visit(c)
+
+    visit(tree)
+    return h.digest()
+
+
+@contextlib.contextmanager
+def _bind_params(spec, flat):
+    """Temporarily replace node attributes with slices of the traced flat
+    vector; restore originals afterwards (tracing happens inside)."""
+    saved = []
+    offset = 0
+    try:
+        for node, name, shape in spec:
+            n = int(np.prod(shape)) if shape else 1
+            val = flat[offset : offset + n]
+            val = val.reshape(shape) if shape else val[0]
+            saved.append((node, name, getattr(node, name)))
+            object.__setattr__(node, name, val)
+            offset += n
+        yield
+    finally:
+        # reverse order: if a node were bound twice, the FIRST saved value
+        # (the true original) wins
+        for node, name, orig in reversed(saved):
+            object.__setattr__(node, name, orig)
+
+
+_parametric_cache: dict = {}
+
+
+class _ParametricBase:
+    _ndim = 3
+
+    def __init__(self, tree: Shader, device=None):
+        self.tree = tree
+        self.device = device if device is not None else jax.devices()[0]
+        # pre-cache structural hashes on every node: distance() may consult
+        # them (e.g. union grouping) while params are bound to tracers
+        tree.tree_hash()
+        self._spec = param_spec(tree)
+        key = (structural_hash(tree), self._ndim, self.device)
+        fn = _parametric_cache.get(key)
+        if fn is None:
+            spec = self._spec
+
+            def impl(flat, p):
+                with _bind_params(spec, flat):
+                    return tree.distance(p)
+
+            jitted = jax.jit(impl)
+
+            def fn(flat, p, _jitted=jitted, _dev=self.device):
+                with jax.default_device(_dev):
+                    return _jitted(
+                        jax.device_put(flat, _dev), jax.device_put(p, _dev)
+                    )
+
+            _parametric_cache[key] = fn
+        self._fn = fn
+
+    def n_params(self) -> int:
+        return int(pack_params(self.tree).size)
+
+    def evaluate(self, pos: np.ndarray, tree: Shader | None = None) -> np.ndarray:
+        """Evaluate with the (possibly edited) tree's current parameter
+        values. `tree` may be any structurally-identical tree."""
+        src = tree if tree is not None else self.tree
+        if tree is not None and structural_hash(tree) != structural_hash(self.tree):
+            raise ValueError("tree structure differs from the compiled structure")
+        src.tree_hash()  # cache node hashes before any tracer binding
+        flat = pack_params(src)
+        expected = pack_params(self.tree).size
+        if flat.size != expected:
+            raise ValueError(
+                f"parameter count mismatch ({flat.size} vs {expected}): the "
+                "edited tree must share subtrees the same way as the "
+                "compiled tree"
+            )
+        pos = np.ascontiguousarray(pos, _f32)
+        return np.asarray(self._fn(jnp.asarray(flat), jnp.asarray(pos)))
+
+
+class ParametricSDF3(_ParametricBase):
+    _ndim = 3
+
+    def __init__(self, tree: Shader3D, device=None):
+        if not isinstance(tree, Shader3D):
+            raise TypeError("expected Shader3D")
+        super().__init__(tree, device)
+
+
+class ParametricSDF2(_ParametricBase):
+    _ndim = 2
+
+    def __init__(self, tree: Shader2D, device=None):
+        if not isinstance(tree, Shader2D):
+            raise TypeError("expected Shader2D")
+        super().__init__(tree, device)

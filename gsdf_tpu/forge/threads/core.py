@@ -65,6 +65,7 @@ class ScrewNode(Shader3D):
     """3D helical sweep of a 2D thread profile (threads.go:62-196)."""
 
     PARAMS = ("pitch", "lead", "length_div2", "taper")
+    CONT_PARAMS = ("pitch", "lead", "length_div2")
     CHILDREN = ("thread",)
 
     def __init__(self, thread: Shader2D, pitch, lead, length_div2, taper):

@@ -1,0 +1,96 @@
+"""Parametric evaluation: edited dimensions re-evaluate through the SAME
+compiled executable, matching a freshly-built tree within float32 ulps
+(operand vs baked-constant compilation changes XLA's constant folding, so
+bit-exactness is not guaranteed — agreement is held to the framework's
+1e-6 budget)."""
+
+def _close(a, b):
+    np.testing.assert_allclose(a, b, atol=1e-6, rtol=0)
+
+import numpy as np
+import pytest
+
+from gsdf_tpu import Builder
+from gsdf_tpu.eval import new_cpu_sdf3, new_sdf2
+from gsdf_tpu.eval.parametric import (
+    ParametricSDF2,
+    ParametricSDF3,
+    pack_params,
+    structural_hash,
+)
+
+import jax
+
+bld = Builder()
+CPU = jax.devices("cpu")[0]
+
+
+def _part(r, box, k, shift):
+    return bld.smooth_union(
+        k,
+        bld.new_sphere(r),
+        bld.translate(bld.new_box(*box, 0.05), *shift),
+    )
+
+
+def test_parametric_matches_fresh_tree():
+    t1 = _part(0.6, (0.8, 0.5, 0.9), 0.1, (0.4, 0.1, -0.2))
+    psdf = ParametricSDF3(t1, CPU)
+    pts = np.random.default_rng(0).uniform(-1.5, 1.5, (1024, 3)).astype(np.float32)
+    _close(psdf.evaluate(pts), new_cpu_sdf3(t1).evaluate(pts))
+    # edit every continuous parameter; same executable, new values
+    t2 = _part(0.75, (0.6, 0.7, 0.4), 0.2, (-0.1, 0.3, 0.1))
+    assert structural_hash(t2) == structural_hash(t1)
+    assert t2.tree_hash() != t1.tree_hash()
+    _close(psdf.evaluate(pts, t2), new_cpu_sdf3(t2).evaluate(pts))
+
+
+def test_parametric_structure_mismatch_raises():
+    t1 = _part(0.6, (0.8, 0.5, 0.9), 0.1, (0.4, 0.1, -0.2))
+    psdf = ParametricSDF3(t1, CPU)
+    other = bld.union(bld.new_sphere(1.0), bld.new_sphere(2.0))
+    with pytest.raises(ValueError):
+        psdf.evaluate(np.zeros((4, 3), np.float32), other)
+
+
+def test_parametric_screw():
+    from gsdf_tpu.forge import threads
+
+    s1 = threads.screw(bld, 2.0, threads.ISO(d=3, p=0.5, ext=True))
+    psdf = ParametricSDF3(s1, CPU)
+    pts = np.random.default_rng(1).uniform(-2, 2, (512, 3)).astype(np.float32)
+    _close(psdf.evaluate(pts), new_cpu_sdf3(s1).evaluate(pts))
+    # longer screw, same profile polygon: same structure (pitch/lead/length
+    # are continuous; the profile is identical because p is unchanged)
+    s2 = threads.screw(bld, 3.0, threads.ISO(d=3, p=0.5, ext=True))
+    assert structural_hash(s2) == structural_hash(s1)
+    _close(psdf.evaluate(pts, s2), new_cpu_sdf3(s2).evaluate(pts))
+
+
+def test_parametric_2d():
+    t1 = bld.annulus(bld.union2d(bld.new_circle(0.5), bld.new_rectangle(0.8, 0.3)), 0.1)
+    psdf = ParametricSDF2(t1, CPU)
+    pts = np.random.default_rng(2).uniform(-1, 1, (512, 2)).astype(np.float32)
+    _close(psdf.evaluate(pts), new_sdf2(t1).evaluate(pts))
+    t2 = bld.annulus(bld.union2d(bld.new_circle(0.4), bld.new_rectangle(0.5, 0.6)), 0.15)
+    _close(psdf.evaluate(pts, t2), new_sdf2(t2).evaluate(pts))
+
+
+def test_parametric_scan_union():
+    hole = bld.new_cylinder(0.08, 2.0, 0.0)
+    offs = np.random.default_rng(3).uniform(-1, 1, (6, 3)).astype(np.float32)
+    u1 = bld.union(bld.new_sphere(0.3), *[bld.translate(hole, *o) for o in offs])
+    psdf = ParametricSDF3(u1, CPU)
+    pts = np.random.default_rng(4).uniform(-1.5, 1.5, (256, 3)).astype(np.float32)
+    _close(psdf.evaluate(pts), new_cpu_sdf3(u1).evaluate(pts))
+    offs2 = offs * 0.5
+    u2 = bld.union(bld.new_sphere(0.35), *[bld.translate(hole, *o) for o in offs2])
+    _close(psdf.evaluate(pts, u2), new_cpu_sdf3(u2).evaluate(pts))
+
+
+def test_pack_params_roundtrip():
+    t = _part(0.6, (0.8, 0.5, 0.9), 0.1, (0.4, 0.1, -0.2))
+    flat = pack_params(t)
+    # k + r + dims(3) + round + translate(3) = 9 floats
+    assert flat.size == 9
+    assert flat.dtype == np.float32
