@@ -49,12 +49,21 @@ _EDGE_LOW = np.array(_EDGE_LOW, np.int32)  # (12,3)
 _LOW_EDGE_FAR = np.array([1, 3, 4], np.int32)
 
 
-def build_welded_render(tree, shape, a_size, v_size, t_size, device):
-    """Compiled (origin, res, k0) -> packed (1 + v_size + t_size, 3) f32:
-    row 0 holds bitcast [n_active, n_verts, total_tris]; rows
-    [1, 1+v_size) hold vertices; remaining rows hold bitcast int32 triangle
-    index triples."""
-    key = (tree.tree_hash(), tuple(shape), a_size, v_size, t_size, device)
+def build_welded_render(tree, shape, a_size, v_size, t_size, device, parametric=False):
+    """Compiled (origin, res, k0[, params]) -> packed 1-D f32 buffer:
+    3 bitcast counts [n_active, n_verts, total_tris], then v_size*3 vertex
+    floats, then t_size*2 bitcast packed index words.
+
+    parametric=True adds the tree's continuous parameters as an operand
+    (eval.parametric): the executable is cached per tree STRUCTURE, so
+    editing dimensions re-renders without recompiling."""
+    if parametric:
+        from ..eval.parametric import _bind_params, param_spec, structural_hash
+
+        tree.tree_hash()  # pre-cache node hashes before tracer binding
+        key = ("param", structural_hash(tree), tuple(shape), a_size, v_size, t_size, device)
+    else:
+        key = (tree.tree_hash(), tuple(shape), a_size, v_size, t_size, device)
     fn = _welded_cache.get(key)
     if fn is not None:
         return fn
@@ -206,6 +215,27 @@ def build_welded_render(tree, shape, a_size, v_size, t_size, device):
         tri_f = jax.lax.bitcast_convert_type(packed_tris, jnp.float32)
         return jnp.concatenate([counts_f, verts.reshape(-1), tri_f])
 
+    if parametric:
+        spec = param_spec(tree)
+
+        def impl_param(origin, res, k0, flat):
+            with _bind_params(spec, flat):
+                return impl(origin, res, k0)
+
+        jitted_p = jax.jit(impl_param)
+
+        def fn(origin, res, k0=np.float32(0), params=None, _j=jitted_p, _dev=device):
+            with jax.default_device(_dev):
+                return _j(
+                    jax.device_put(origin, _dev),
+                    _f32(res),
+                    _f32(k0),
+                    jax.device_put(params, _dev),
+                )
+
+        _welded_cache[key] = fn
+        return fn
+
     jitted = jax.jit(impl)
 
     def fn(origin, res, k0=np.float32(0), _jitted=jitted, _dev=device):
@@ -216,15 +246,28 @@ def build_welded_render(tree, shape, a_size, v_size, t_size, device):
     return fn
 
 
-def welded_render(tree, origin, res, shape, device, size_hint=None):
+def welded_render(tree, origin, res, shape, device, size_hint=None, parametric=False):
     """One-dispatch, one-fetch indexed-mesh render.
 
     Returns (verts (V,3) f32, tri_idx (T,3) i32, hint). Triangle soup is
-    verts[tri_idx] on host."""
+    verts[tri_idx] on host.
+
+    parametric=True: the executable is shared across all trees with this
+    STRUCTURE; the tree's current continuous parameter values are passed
+    as an operand — edit dimensions, re-render, zero recompiles (buffer
+    sizes grow-and-retry if an edit increases the surface)."""
     nk, nj, ni = (int(x) for x in shape)
     ncubes = (nk - 1) * (nj - 1) * (ni - 1)
+    if parametric:
+        from ..eval.parametric import pack_params, structural_hash
+
+        hint_key = ("hint-param", structural_hash(tree), tuple(shape))
+        params = jnp.asarray(pack_params(tree))
+    else:
+        hint_key = ("hint", tree.tree_hash(), tuple(shape))
+        params = None
     if size_hint is None:
-        size_hint = _welded_cache.get(("hint", tree.tree_hash(), tuple(shape)))
+        size_hint = _welded_cache.get(hint_key)
     if size_hint:
         a_size, v_size, t_size = size_hint
     else:
@@ -234,8 +277,13 @@ def welded_render(tree, origin, res, shape, device, size_hint=None):
         t_size = _bucket(int(a_size * 2.5))
     origin = np.asarray(origin, _f32)
     while True:
-        fn = build_welded_render(tree, shape, a_size, v_size, t_size, device)
-        packed = np.asarray(fn(jnp.asarray(origin), _f32(res)))
+        fn = build_welded_render(
+            tree, shape, a_size, v_size, t_size, device, parametric=parametric
+        )
+        if parametric:
+            packed = np.asarray(fn(jnp.asarray(origin), _f32(res), params=params))
+        else:
+            packed = np.asarray(fn(jnp.asarray(origin), _f32(res)))
         n_active, n_verts, total = (int(x) for x in packed[:3].view(np.int32))
         ok = n_active <= a_size and n_verts <= v_size and total <= t_size
         if ok:
@@ -245,7 +293,12 @@ def welded_render(tree, origin, res, shape, device, size_hint=None):
                 _bucket(n_verts, granule=16384),
                 _bucket(total, granule=16384),
             )
-            _welded_cache[("hint", tree.tree_hash(), tuple(shape))] = hint
+            if parametric:
+                # grow-only so dimension edits keep reusing one executable
+                prev = _welded_cache.get(hint_key)
+                if prev:
+                    hint = tuple(max(a, b) for a, b in zip(hint, prev))
+            _welded_cache[hint_key] = hint
             verts = packed[3 : 3 + 3 * n_verts].reshape(-1, 3).copy()
             words = packed[3 + 3 * v_size : 3 + 3 * v_size + 2 * total].view(
                 np.int32

@@ -93,11 +93,17 @@ class FlatRenderer:
         tris, _ = marching_cubes_grid(grid, self.origin, self.res, self.device)
         return tris
 
-    def render_indexed(self):
+    def render_indexed(self, parametric: bool = False):
         """Render to an indexed mesh (verts (V,3) f32, tri_idx (T,3) i32)
         via the welded single-dispatch kernel — the minimal-transfer
         production path. Triangle count matches render(); vertex coords may
         differ in the last ulp (canonical-edge vs per-cube interpolation).
+
+        parametric=True compiles per tree STRUCTURE: mutate the tree's
+        continuous parameters (or bind a structurally-identical tree via
+        self.s) and re-render without recompiling. The render region and
+        resolution stay pinned to this renderer's construction-time values,
+        so pin generous bounds (core.wrappers.with_bounds) before editing.
 
         Grids beyond the memory threshold fall back to the slabbed soup
         path and weld on host."""
@@ -111,7 +117,8 @@ class FlatRenderer:
         self._evaluations += nk * nj * ni
         verts, tri_idx, self._welded_hint = welded_render(
             self.s, self.origin, self.res, (nk, nj, ni), self.device,
-            size_hint=getattr(self, "_welded_hint", None),
+            size_hint=getattr(self, "_welded_hint", None) if not parametric else None,
+            parametric=parametric,
         )
         return verts, tri_idx
 

@@ -94,3 +94,42 @@ def test_pack_params_roundtrip():
     # k + r + dims(3) + round + translate(3) = 9 floats
     assert flat.size == 9
     assert flat.dtype == np.float32
+
+
+def test_parametric_render_no_recompile():
+    """Mutating a continuous parameter re-renders through the same welded
+    executable (the interactive-editing loop)."""
+    import numpy as _np
+
+    from gsdf_tpu.core.wrappers import with_bounds
+    from gsdf_tpu.geometry import box3
+    from gsdf_tpu.ops import fused_welded
+    from gsdf_tpu.render.flat import FlatRenderer
+
+    sph = bld.new_sphere(0.5)
+    part = with_bounds(bld.union(sph, bld.new_box(0.4, 0.4, 1.0, 0.05)),
+                       box3(-1, -1, -1, 1, 1, 1))
+    fr = FlatRenderer(part, 0.06, device=CPU)
+    def n_param_execs():
+        return len(
+            [k for k in fused_welded._welded_cache
+             if isinstance(k, tuple) and k and k[0] == "param"]
+        )
+
+    v1, i1 = fr.render_indexed(parametric=True)
+    try:
+        # growing the sphere may grow buffers (legit grow-and-retry compiles)
+        object.__setattr__(sph, "r", _np.float32(0.8))
+        v2, i2 = fr.render_indexed(parametric=True)
+        assert len(i2) != len(i1)
+        r = _np.linalg.norm(v2[i2].reshape(-1, 3), axis=1).max()
+        assert 0.78 < r < 0.82
+        # further edits within the grown capacity: ZERO new executables
+        n_exec = n_param_execs()
+        object.__setattr__(sph, "r", _np.float32(0.7))
+        v3, i3 = fr.render_indexed(parametric=True)
+        assert n_param_execs() == n_exec, "in-capacity edit caused a recompile"
+        r = _np.linalg.norm(v3[i3].reshape(-1, 3), axis=1).max()
+        assert 0.68 < r < 0.72
+    finally:
+        object.__setattr__(sph, "r", _np.float32(0.5))
