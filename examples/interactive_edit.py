@@ -1,0 +1,45 @@
+"""Interactive parametric editing demo: compile once, then sweep a
+dimension and re-render with zero recompiles — the workflow GLSL-codegen
+pipelines cannot offer (every edit is a new shader there; here edits are
+operand updates to one executable).
+"""
+import time
+
+import numpy as np
+
+from _common import example_args  # noqa: F401  (sets sys.path)
+
+from gsdf_tpu import Builder
+from gsdf_tpu.core.wrappers import with_bounds
+from gsdf_tpu.geometry import box3
+from gsdf_tpu.render.flat import FlatRenderer
+from gsdf_tpu.render.stl import write_stl_file
+
+if __name__ == "__main__":
+    bld = Builder()
+    hole = bld.new_cylinder(0.25, 4.0, 0.0)
+    body = bld.smooth_union(
+        0.1,
+        bld.new_box(1.6, 1.0, 0.5, 0.05),
+        bld.new_cylinder(0.45, 1.2, 0.05),
+    )
+    part = bld.difference(body, hole)
+    # pin a render region covering every edit we intend to make
+    pinned = with_bounds(part, box3(-1.2, -0.8, -0.9, 1.2, 0.8, 0.9))
+
+    fr = FlatRenderer(pinned, 0.02)
+    t0 = time.monotonic()
+    v, i = fr.render_indexed(parametric=True)
+    print(f"[{time.monotonic()-t0:.1f}s] first render (compile): {len(i)} triangles")
+
+    cyl = body.s2  # the boss cylinder node
+    for r in (0.35, 0.5, 0.6, 0.4):
+        object.__setattr__(cyl, "r", np.float32(r))
+        t0 = time.monotonic()
+        v, i = fr.render_indexed(parametric=True)
+        print(
+            f"[{(time.monotonic()-t0)*1e3:.0f}ms] boss radius {r}: "
+            f"{len(i)} triangles"
+        )
+    write_stl_file("interactive-part.stl", v[i])
+    print("wrote interactive-part.stl at the last edited state")
