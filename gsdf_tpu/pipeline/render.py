@@ -5,7 +5,6 @@ stopwatch log lines in the reference's `[dur] msg` format.
 from __future__ import annotations
 
 import dataclasses
-import io
 import time
 from typing import BinaryIO, Callable, Optional, TextIO
 

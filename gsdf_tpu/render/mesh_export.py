@@ -6,7 +6,6 @@ reference, which only writes STL.
 """
 from __future__ import annotations
 
-import struct
 
 import numpy as np
 

@@ -23,7 +23,6 @@ octree has the same property).
 """
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

@@ -5,7 +5,6 @@ model instead of the reference's per-triangle 50-byte packing loop.
 """
 from __future__ import annotations
 
-import io
 import struct
 
 import numpy as np
