@@ -66,12 +66,40 @@ def write_stl_file(path: str, model: np.ndarray) -> int:
         return write_binary_stl(f, model)
 
 
-def read_binary_stl(r) -> np.ndarray:
+def validate_stl_triangles(
+    rec: np.ndarray, norm_tol: float = 5e-2, degenerate_tol: float = 1e-12
+) -> dict:
+    """Vectorized triangle validation (reference stlTriangle.validate,
+    glrender/stl.go:129-149): finite check, degeneracy, stored-vs-computed
+    normal agreement (either orientation). Returns violation counts."""
+    tris = np.stack([rec["v1"], rec["v2"], rec["v3"]], axis=1).astype(_f32)
+    finite = np.isfinite(tris).all(axis=(1, 2)) & np.isfinite(
+        rec["normal"]
+    ).all(axis=1)
+    calc = triangle_normals(tris * 10)  # reference scales by 10 (stl.go:156)
+    area2 = np.linalg.norm(
+        np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0]), axis=1
+    )
+    degenerate = area2 < degenerate_tol
+    got = rec["normal"].astype(_f32)
+    close = np.all(np.abs(calc - got) <= norm_tol, axis=1) | np.all(
+        np.abs(-calc - got) <= norm_tol, axis=1
+    )
+    return {
+        "nonfinite": int((~finite).sum()),
+        "degenerate": int(degenerate.sum()),
+        "normal_mismatches": int((~close & finite & ~degenerate).sum()),
+    }
+
+
+def read_binary_stl(r, validate: bool = False) -> np.ndarray:
     """Read binary STL, returning (T,3,3) float32 triangles
-    (reference glrender/stl.go:175)."""
+    (reference glrender/stl.go:175). With validate=True, raises if more
+    than 10,000 stored normals disagree with computed normals (the
+    reference's mismatch-abort threshold, stl.go:212)."""
     if isinstance(r, (str, bytes)) and isinstance(r, str):
         with open(r, "rb") as f:
-            return read_binary_stl(f)
+            return read_binary_stl(f, validate)
     header = r.read(84)
     if len(header) < 84:
         raise ValueError("encountered EOF while reading STL header")
@@ -85,4 +113,11 @@ def read_binary_stl(r) -> np.ndarray:
     tris = np.stack([rec["v1"], rec["v2"], rec["v3"]], axis=1).astype(_f32)
     if np.any(~np.isfinite(tris)):
         raise ValueError("inf/NaN STL triangle vertex")
+    if validate:
+        stats = validate_stl_triangles(rec)
+        if stats["normal_mismatches"] > 10_000:
+            raise ValueError(
+                f"got too many normal vector mismatches "
+                f"({stats['normal_mismatches']})"
+            )
     return tris

@@ -50,3 +50,21 @@ def test_empty_far_field():
     s = bld.new_sphere(0.1)
     tris = FlatRenderer(s, 0.05).render()
     assert len(tris) > 0
+
+
+def test_stl_validation():
+    from gsdf_tpu.render.stl import validate_stl_triangles, _STL_DTYPE
+    from gsdf_tpu.native import stl_encode
+
+    bld2 = Builder()
+    tris = FlatRenderer(bld2.new_sphere(0.5), 0.05).render()
+    rec = np.frombuffer(stl_encode(tris), dtype=_STL_DTYPE)
+    stats = validate_stl_triangles(rec)
+    assert stats["nonfinite"] == 0
+    assert stats["normal_mismatches"] == 0
+    # validated read path
+    buf = io.BytesIO()
+    write_binary_stl(buf, tris)
+    buf.seek(0)
+    back = read_binary_stl(buf, validate=True)
+    assert len(back) == len(tris)
