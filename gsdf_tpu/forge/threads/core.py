@@ -78,7 +78,8 @@ class ScrewNode(Shader3D):
     def distance(self, p):
         pitch = self.pitch
         lead = self.lead
-        tan_taper = _f32(math.tan(float(self.taper)))
+        # single-precision tan like the reference's math32.Tan (threads.go:155)
+        tan_taper = np.tan(self.taper, dtype=_f32)
         px, py, pz = p[..., 0], p[..., 1], p[..., 2]
         y = jnp.sqrt(px * px + py * py) + pz * tan_taper
         theta = jnp.arctan2(py, px)
@@ -92,10 +93,10 @@ class ScrewNode(Shader3D):
         return jnp.maximum(d2, d3)
 
     def bounds(self) -> Box:
-        # reference threads.go:184-196
-        r = float(self.thread.bounds().max[1])
-        r += float(self.length_div2) * math.tan(float(self.taper))
-        L = float(self.length_div2)
+        # reference threads.go:184-196, float32 steps like the Go original
+        r = _f32(self.thread.bounds().max[1])
+        r = _f32(r + self.length_div2 * np.tan(self.taper, dtype=_f32))
+        L = self.length_div2
         return Box(np.array([-r, -r, -L], _f32), np.array([r, r, L], _f32))
 
 

@@ -71,15 +71,20 @@ class NPT(Threader):
         return float(np.float32(1.0) / np.float32(self.tpi))
 
     def thread_params(self) -> Parameters:
+        import numpy as np
+
         p = ISO(d=self.d, p=self._pitch()).thread_params()
         p.name = "NPT"
-        p.taper = math.atan(1.0 / 32.0)  # standard NPT taper
+        # standard NPT taper; single-precision atan like math32.Atan (npt.go:27)
+        p.taper = float(np.arctan(np.float32(1.0 / 32.0), dtype=np.float32))
         if self.f2f > 0:
             p.hex_f2f = self.f2f
         return p
 
     def thread(self, bld):
-        return ISO(d=self.d, p=self._pitch()).thread(bld)
+        # the reference leaves ISO.Ext at Go's zero value (false), so NPT
+        # threads cut with the INTERNAL profile (npt.go:37)
+        return ISO(d=self.d, p=self._pitch(), ext=False).thread(bld)
 
     # nominal, major diameter, TPI, hex flat-to-flat (npt.go:40-55)
     _LOOKUP = [

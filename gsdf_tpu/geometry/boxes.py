@@ -61,7 +61,14 @@ class Box:
         return ((self.min + self.max) * _f32(0.5)).astype(_f32)
 
     def diagonal(self) -> float:
-        return float(np.linalg.norm(self.size().astype(np.float64)))
+        """Diagonal length in float32 arithmetic (matching Go ms3.Norm's
+        f32 sqrt-of-dot as used for resolution selection; the reference's
+        printed flange resolution 0.21679485 reproduces bit-exactly)."""
+        s = self.size().astype(_f32)
+        acc = _f32(0)
+        for c in s:
+            acc = _f32(acc + _f32(c * c))
+        return float(np.sqrt(acc, dtype=_f32))
 
     def vertices(self) -> np.ndarray:
         """All 2^n corner vertices, shape (2^n, n)."""
