@@ -19,7 +19,10 @@ class ISO(Threader):
 
     d: float  # nominal diameter
     p: float  # pitch
-    ext: bool = True  # external (screws) vs internal (tapped holes)
+    #: external (screws) vs internal (tapped holes). Defaults False to
+    #: match Go's zero value — reference code that omits Ext gets the
+    #: internal profile (e.g. NPT, npt.go:37).
+    ext: bool = False
 
     def thread_params(self) -> Parameters:
         return Basic(self.d, self.p).thread_params()
@@ -121,7 +124,7 @@ class UTS(Threader):
 
     d: float
     tpi: float
-    ext: bool = True
+    ext: bool = False  # Go zero-value default, as in the reference
 
     def thread_params(self) -> Parameters:
         return Basic(self.d, 1.0 / self.tpi).thread_params()
