@@ -23,8 +23,14 @@ _f32 = np.float32
 _rm_cache: dict = {}
 
 
-def _raymarch_fn(tree: Shader3D, width: int, height: int, steps: int, device):
-    key = (tree.tree_hash(), width, height, steps, device)
+def _raymarch_fn(
+    tree: Shader3D, width: int, height: int, steps: int, device,
+    relax: float = 0.8,
+):
+    """relax < 1 under-steps the sphere tracer: screw sweeps and other
+    domain-warping ops are not 1-Lipschitz, and full steps overshoot thin
+    thread features (speckle artifacts)."""
+    key = (tree.tree_hash(), width, height, steps, device, relax)
     fn = _rm_cache.get(key)
     if fn is not None:
         return fn
@@ -58,7 +64,7 @@ def _raymarch_fn(tree: Shader3D, width: int, height: int, steps: int, device):
             d = scene(p)
             hit = jnp.abs(d) < 1e-4
             newly = hit & ~done
-            t = jnp.where(done | newly, t, t + d)
+            t = jnp.where(done | newly, t, t + d * np.float32(relax))
             return t, done | newly | (t > 8.0)
 
         t0 = jnp.zeros((height, width), jnp.float32)
@@ -117,6 +123,7 @@ def raymarch_image(
     cam_dist: float = 2.4,
     steps: int = 196,
     device=None,
+    relax: float = 0.8,
 ) -> np.ndarray:
     """Render one shaded view of the part, returning (H,W,3) uint8."""
     device = device if device is not None else jax.devices()[0]
@@ -125,7 +132,7 @@ def raymarch_image(
     scale = _f32(max(float(np.max(bb.size())) / 2, 1e-9))
     light = np.array([0.6, 0.4, 0.8], _f32)
     light /= np.linalg.norm(light)
-    fn = _raymarch_fn(obj, width, height, steps, device)
+    fn = _raymarch_fn(obj, width, height, steps, device, relax)
     img = fn(
         _f32(cam_dist),
         jnp.asarray(center),
