@@ -17,8 +17,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.node import Shader3D
 
@@ -32,6 +32,18 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), (AXIS,))
 
 
+def _replicated(mesh: Mesh, value):
+    """Commit a host value to the mesh's own devices, replicated.
+
+    Every operand of a sharded step must be created ON the mesh —
+    `jnp.asarray` would place it on the process default device (the real
+    TPU when one is attached), which both wastes a transfer and breaks
+    hermetic CPU-mesh runs (the driver's dryrun_multichip)."""
+    return jax.device_put(
+        np.asarray(value, _f32), NamedSharding(mesh, P())
+    )
+
+
 def sharded_grid_eval(tree: Shader3D, mesh: Mesh, shape, origin, res):
     """Evaluate a (nk,nj,ni) corner grid with the k axis sharded over the
     mesh. nk must be divisible by mesh size. Returns a global jax.Array with
@@ -41,14 +53,16 @@ def sharded_grid_eval(tree: Shader3D, mesh: Mesh, shape, origin, res):
     if nk % n_dev != 0:
         raise ValueError(f"slab axis {nk} not divisible by {n_dev} devices")
     nk_local = nk // n_dev
-    origin = jnp.asarray(np.asarray(origin, _f32))
-    res = _f32(res)
+    origin = _replicated(mesh, origin)
+    res = _replicated(mesh, res)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(), P()),
         out_specs=P(AXIS, None, None),
+        check_vma=False,  # pure DP step; lax.scan carries in deep trees
+        # (polygon edges, scan-grouped unions) start as unvarying consts
     )
     def impl(origin, res):
         k0 = jax.lax.axis_index(AXIS) * nk_local
@@ -163,13 +177,14 @@ def sharded_render_step(tree: Shader3D, mesh: Mesh, shape, max_tris_per_shard: i
             tris.reshape(A * 5, 3, 3)[jnp.maximum(tidx, 0)],
             0.0,
         )
-        return out, total
+        return out, total, n_act
 
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(), P()),
-        out_specs=(P(AXIS, None, None, None), P(AXIS)),
+        out_specs=(P(AXIS, None, None, None), P(AXIS), P(AXIS)),
+        check_vma=False,  # see sharded_grid_eval
     )
     def step(origin, res):
         me = jax.lax.axis_index(AXIS)
@@ -185,8 +200,8 @@ def sharded_render_step(tree: Shader3D, mesh: Mesh, shape, max_tris_per_shard: i
             axis=-1,
         )
         grid_ext = tree.distance(p)
-        tris, total = local_mc(grid_ext, origin, res, k0)
-        return tris[None], total[None]
+        tris, total, n_act = local_mc(grid_ext, origin, res, k0)
+        return tris[None], total[None], n_act[None]
 
     return jax.jit(step)
 
@@ -210,10 +225,21 @@ def render_sharded(tree: Shader3D, mesh: Mesh, res: float, max_tris_per_shard=1 
     nk = nz + 1
     if nk % n_dev:
         nk += n_dev - nk % n_dev
-    step = sharded_render_step(tree, mesh, (nk, ny + 1, nx + 1), max_tris_per_shard)
-    origin = jnp.asarray(bb.min)
-    tris, counts = step(origin, res32)
+    origin = _replicated(mesh, bb.min)
+    res_dev = _replicated(mesh, res32)
+    M = int(max_tris_per_shard)
+    while True:
+        step = sharded_render_step(tree, mesh, (nk, ny + 1, nx + 1), M)
+        tris, counts, n_act = step(origin, res_dev)
+        counts = np.asarray(counts)
+        n_act = np.asarray(n_act)
+        worst = max(counts.max(initial=0), n_act.max(initial=0))
+        if worst <= M:
+            break
+        # grow-and-retry: never silently truncate (the same discipline as
+        # the single-device fused path, ops/fused_render.py)
+        while worst > M:
+            M *= 2
     tris = np.asarray(tris)
-    counts = np.asarray(counts)
     out = [tris[d, : counts[d]] for d in range(tris.shape[0])]
     return np.concatenate(out, axis=0)
