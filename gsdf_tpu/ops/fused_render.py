@@ -26,23 +26,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .mc_tables import MC_EDGE_PAIRS, MC_TRI_COUNT, MC_TRI_TABLE
-from .marching_cubes import _CORNER_OFFSETS, _CUBE_DIAG_FACTOR, _MC_EPS, _bucket
+from .marching_cubes import _bucket
+from .mc_emit import dense_grid_mc
 
 _f32 = np.float32
 
 _fused_cache: dict = {}
-
-
-def _compact_indices(mask_flat, size):
-    """Indices of True entries, -1 padded, via cumsum+scatter (order
-    preserving)."""
-    pos = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1
-    idx = jnp.arange(mask_flat.shape[0], dtype=jnp.int32)
-    dest = jnp.where(mask_flat, pos, size)
-    out = jnp.full((size + 1,), -1, jnp.int32)
-    out = out.at[dest].set(idx, mode="drop")
-    return out[:size]
 
 
 def build_fused_render(tree, shape, a_size: int, t_size: int, device):
@@ -56,7 +45,6 @@ def build_fused_render(tree, shape, a_size: int, t_size: int, device):
         return fn
 
     nk, nj, ni = (int(x) for x in shape)
-    nx, ny = ni - 1, nj - 1
     A = int(a_size)
     T = int(t_size)
 
@@ -71,80 +59,8 @@ def build_fused_render(tree, shape, a_size: int, t_size: int, device):
             axis=-1,
         )
         grid = tree.distance(p)
-
-        c = (
-            grid[:-1, :-1, :-1],
-            grid[:-1, :-1, 1:],
-            grid[:-1, 1:, 1:],
-            grid[:-1, 1:, :-1],
-            grid[1:, :-1, :-1],
-            grid[1:, :-1, 1:],
-            grid[1:, 1:, 1:],
-            grid[1:, 1:, :-1],
-        )
-        index = jnp.zeros(c[0].shape, dtype=jnp.int32)
-        for b, v in enumerate(c):
-            index = index | (jnp.int32(v < 0.0) << b)
-        keep = jnp.abs(c[0]) <= _CUBE_DIAG_FACTOR * res
-        active = keep & (index != 0) & (index != 255)
-        n_active = jnp.sum(active.astype(jnp.int32))
-        cube_idx = _compact_indices(active.ravel(), A)
-
-        safe = jnp.maximum(cube_idx, 0)
-        ci = safe % nx
-        cj = (safe // nx) % ny
-        ck = safe // (nx * ny)
-        gflat = grid.ravel()
-        offs = jnp.asarray(_CORNER_OFFSETS)
-        gi = (
-            (ck[:, None] + offs[None, :, 2]) * (nj * ni)
-            + (cj[:, None] + offs[None, :, 1]) * ni
-            + (ci[:, None] + offs[None, :, 0])
-        )
-        v = gflat[gi]  # (A,8)
-        base = jnp.stack(
-            [
-                origin[0] + ci.astype(jnp.float32) * res,
-                origin[1] + cj.astype(jnp.float32) * res,
-                origin[2] + (ck.astype(jnp.float32) + k0) * res,
-            ],
-            axis=-1,
-        )
-        pc = base[:, None, :] + offs[None, :, :].astype(jnp.float32) * res
-
-        idx8 = jnp.zeros((A,), dtype=jnp.int32)
-        for b in range(8):
-            idx8 = idx8 | (jnp.int32(v[:, b] < 0.0) << b)
-
-        pairs = jnp.asarray(MC_EDGE_PAIRS)
-        va, vb = v[:, pairs[:, 0]], v[:, pairs[:, 1]]
-        pa, pb = pc[:, pairs[:, 0], :], pc[:, pairs[:, 1], :]
-        ca_, cb_ = jnp.abs(va) < _MC_EPS, jnp.abs(vb) < _MC_EPS
-        t = jnp.where(ca_ & cb_, 0.5, (0.0 - va) / (vb - va))
-        pt = pa + t[..., None] * (pb - pa)
-        pt = jnp.where((cb_ & ~ca_)[..., None], pb, pt)
-        pt = jnp.where((ca_ & ~cb_)[..., None], pa, pt)  # (A,12,3)
-
-        table = jnp.asarray(MC_TRI_TABLE)[idx8]  # (A,5,3)
-        tcounts = jnp.asarray(MC_TRI_COUNT)[idx8]
-        flat_pt = pt.reshape(A * 12, 3)
-        gidx = (
-            jax.lax.broadcasted_iota(jnp.int32, (A, 5, 3), 0) * 12
-            + jnp.maximum(table, 0)
-        ).reshape(-1)
-        tris = flat_pt[gidx].reshape(A, 5, 3, 3)[:, :, ::-1, :]
-
-        slot = jax.lax.broadcasted_iota(jnp.int32, (A, 5), 1)
-        rowi = jax.lax.broadcasted_iota(jnp.int32, (A, 5), 0)
-        valid = (slot < tcounts[:, None]) & (rowi < n_active) & (cube_idx[:, None] >= 0)
-        total = jnp.sum(valid.astype(jnp.int32))
-        tidx = _compact_indices(valid.reshape(A * 5), T)
-        out = jnp.where(
-            (tidx >= 0)[:, None, None],
-            tris.reshape(A * 5, 3, 3)[jnp.maximum(tidx, 0)],
-            0.0,
-        )
-        return out, n_active, total
+        tris, n_active, total = dense_grid_mc(grid, origin, res, k0, A, T)
+        return tris, n_active, total
 
     jitted = jax.jit(impl)
 

@@ -25,8 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import mc_emit
 from .mc_tables import MC_EDGE_PAIRS, MC_TRI_COUNT, MC_TRI_TABLE
-from .marching_cubes import _CORNER_OFFSETS, _CUBE_DIAG_FACTOR, _MC_EPS, _bucket
+from .marching_cubes import _CORNER_OFFSETS, _MC_EPS, _bucket
 
 _f32 = np.float32
 
@@ -84,29 +85,10 @@ def build_welded_render(tree, shape, a_size, v_size, t_size, device, parametric=
         )
         grid = tree.distance(p)
 
-        # --- active cube compaction (as in the soup path) ---------------
-        c = (
-            grid[:-1, :-1, :-1],
-            grid[:-1, :-1, 1:],
-            grid[:-1, 1:, 1:],
-            grid[:-1, 1:, :-1],
-            grid[1:, :-1, :-1],
-            grid[1:, :-1, 1:],
-            grid[1:, 1:, 1:],
-            grid[1:, 1:, :-1],
-        )
-        index = jnp.zeros(c[0].shape, dtype=jnp.int32)
-        for b, v_ in enumerate(c):
-            index = index | (jnp.int32(v_ < 0.0) << b)
-        keep = jnp.abs(c[0]) <= _CUBE_DIAG_FACTOR * res
-        active = keep & (index != 0) & (index != 255)
+        # --- active cube compaction (shared kernel, as in the soup path)
+        index, active = mc_emit.classify(grid, res)
         n_active = jnp.sum(active.astype(jnp.int32))
-        flat_active = active.reshape(-1)
-        apos = jnp.cumsum(flat_active.astype(jnp.int32)) - 1
-        ids = jnp.arange(flat_active.shape[0], dtype=jnp.int32)
-        adest = jnp.where(flat_active, apos, A)
-        cube_id = jnp.full((A + 1,), -1, jnp.int32)
-        cube_id = cube_id.at[adest].set(ids, mode="drop")[:A]
+        cube_id = mc_emit.compact_indices(active.reshape(-1), A)
         # inverse: cube linear id -> active slot
         cube_slot = jnp.full((nx * ny * nz,), 0, jnp.int32)
         cube_slot = cube_slot.at[jnp.maximum(cube_id, 0)].set(

@@ -1,0 +1,220 @@
+"""THE shared marching-cubes emit kernel.
+
+The reference has exactly ONE `mcToTriangles` (glrender/marchcubes.go:34)
+consumed by the octree, flat and test paths. This module is its TPU
+analog: every renderer (fused dense, welded indexed, pruned tiles,
+multi-chip sharded, staged) composes these jittable pieces instead of
+re-implementing classify -> compact -> gather -> interpolate -> emit.
+
+All functions are shape-polymorphic jnp code meant to be called INSIDE a
+caller's jit/shard_map trace; none of them jit themselves.
+
+Conventions (identical across callers):
+- corner grid grid[k, j, i], z slowest;
+- cube linear id = (ck*ny + cj)*nx + ci (x fastest — the reference's
+  iteration order, flatrenderer.go:210-212, so triangle order matches);
+- corner order and winding per marchcubes.go:222-233 / :63-68;
+- corner-0 quick reject |d0| <= 2*sqrt3*res (marchcubes.go:23).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mc_tables import MC_EDGE_PAIRS, MC_TRI_COUNT, MC_TRI_TABLE
+
+_f32 = np.float32
+
+# float32(2*sqrt3) with the reference's sqrt3 constant (glrender/glrender.go:9)
+CUBE_DIAG_FACTOR = np.float32(2 * 1.73205080757)
+MC_EPS = 1e-12
+
+# corner offsets (dx,dy,dz) in the reference's corner order
+CORNER_OFFSETS = np.array(
+    [
+        [0, 0, 0],
+        [1, 0, 0],
+        [1, 1, 0],
+        [0, 1, 0],
+        [0, 0, 1],
+        [1, 0, 1],
+        [1, 1, 1],
+        [0, 1, 1],
+    ],
+    dtype=np.int32,
+)
+
+
+def bucket(n: int, minimum: int = 1024, granule: int = 65536) -> int:
+    """Round n up: powers of two below `granule`, multiples of `granule`
+    above. Bounds both recompile count and padded-transfer waste."""
+    b = minimum
+    while b < n and b < granule:
+        b <<= 1
+    if b >= n:
+        return b
+    return ((n + granule - 1) // granule) * granule
+
+
+def cube_corner_views(grid):
+    """The 8 per-cube corner arrays sliced over the LAST 3 dims (works for
+    a dense (nk,nj,ni) grid and for a (T,P,P,P) tile atlas alike)."""
+    return (
+        grid[..., :-1, :-1, :-1],  # 0: (0,0,0)
+        grid[..., :-1, :-1, 1:],  # 1: (+x,0,0)
+        grid[..., :-1, 1:, 1:],  # 2: (+x,+y,0)
+        grid[..., :-1, 1:, :-1],  # 3: (0,+y,0)
+        grid[..., 1:, :-1, :-1],  # 4: (0,0,+z)
+        grid[..., 1:, :-1, 1:],  # 5: (+x,0,+z)
+        grid[..., 1:, 1:, 1:],  # 6: (+x,+y,+z)
+        grid[..., 1:, 1:, :-1],  # 7: (0,+y,+z)
+    )
+
+
+def case_index(corners):
+    """256-case MC index from the 8 corner arrays (sign bit per corner)."""
+    index = jnp.zeros(corners[0].shape, dtype=jnp.int32)
+    for b, v in enumerate(corners):
+        index = index | (jnp.int32(v < 0.0) << b)
+    return index
+
+
+def classify(grid, res, extra_mask=None):
+    """Dense classification: (case index, active mask).
+
+    active = corner-0 quick-reject AND mixed signs (index not 0/255 — the
+    exact set of cases with a non-empty triangle table) AND extra_mask."""
+    corners = cube_corner_views(grid)
+    index = case_index(corners)
+    keep = jnp.abs(corners[0]) <= CUBE_DIAG_FACTOR * res
+    active = keep & (index != 0) & (index != 255)
+    if extra_mask is not None:
+        active = active & extra_mask
+    return index, active
+
+
+def compact_indices(mask_flat, size):
+    """Indices of True entries, -1 padded to `size`, order preserving
+    (cumsum + drop-mode scatter — no sort, no host sync)."""
+    pos = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1
+    idx = jnp.arange(mask_flat.shape[0], dtype=jnp.int32)
+    dest = jnp.where(mask_flat, pos, size)
+    out = jnp.full((size + 1,), -1, jnp.int32)
+    out = out.at[dest].set(idx, mode="drop")
+    return out[:size]
+
+
+def gather_corners(grid_flat, base_lin, stride_j, stride_k):
+    """Gather the 8 corner values per cube. base_lin (A,) is each cube's
+    origin-corner linear index in grid_flat; strides give the +j / +k
+    steps (+i step is 1). Returns (A,8)."""
+    offs = jnp.asarray(CORNER_OFFSETS)
+    gi = (
+        base_lin[:, None]
+        + offs[None, :, 2] * stride_k
+        + offs[None, :, 1] * stride_j
+        + offs[None, :, 0]
+    )
+    return grid_flat[gi]
+
+
+def corner_positions(origin, res, fi, fj, fk):
+    """Corner positions (A,8,3) from float32 corner-index coords of each
+    cube's origin corner. Reference arithmetic (flatrenderer.go:235-247):
+    origin + index*res, then +offset*res per corner."""
+    base = jnp.stack(
+        [origin[0] + fi * res, origin[1] + fj * res, origin[2] + fk * res],
+        axis=-1,
+    )  # (A,3)
+    offs = jnp.asarray(CORNER_OFFSETS).astype(jnp.float32)
+    return base[:, None, :] + offs[None, :, :] * res  # (A,8,3)
+
+
+def interpolate_edges(v, pc):
+    """The 12 edge intersection points per cube (mcInterpolate,
+    marchcubes.go:76-98 epsilon rules). v (A,8), pc (A,8,3) -> (A,12,3)."""
+    pairs = jnp.asarray(MC_EDGE_PAIRS)
+    va, vb = v[:, pairs[:, 0]], v[:, pairs[:, 1]]
+    pa, pb = pc[:, pairs[:, 0], :], pc[:, pairs[:, 1], :]
+    ca = jnp.abs(va) < MC_EPS
+    cb = jnp.abs(vb) < MC_EPS
+    t = jnp.where(ca & cb, 0.5, (0.0 - va) / (vb - va))
+    pt = pa + t[..., None] * (pb - pa)
+    pt = jnp.where((cb & ~ca)[..., None], pb, pt)
+    pt = jnp.where((ca & ~cb)[..., None], pa, pt)
+    return pt
+
+
+def emit_triangles(v, pc, valid_cube, t_size):
+    """Per-active-cube triangle emission + exact device-side compaction.
+
+    v (A,8) corner values, pc (A,8,3) corner positions, valid_cube (A,)
+    (False on -1/padding rows). Returns (tris (t_size,3,3) in reference
+    cube-then-table order, total int32). Rows past `total` are zeros;
+    callers grow-and-retry when total > t_size.
+    """
+    A = v.shape[0]
+    idx8 = case_index(tuple(v[:, b] for b in range(8)))
+    pt = interpolate_edges(v, pc)
+
+    table = jnp.asarray(MC_TRI_TABLE)[idx8]  # (A,5,3) edge ids, -1 padded
+    tcounts = jnp.asarray(MC_TRI_COUNT)[idx8]
+    flat_pt = pt.reshape(A * 12, 3)
+    # flat gather (no (A,5,12) materialization)
+    gidx = (
+        jax.lax.broadcasted_iota(jnp.int32, (A, 5, 3), 0) * 12
+        + jnp.maximum(table, 0)
+    ).reshape(-1)
+    # reference winding: Triangle{points[t2], points[t1], points[t0]}
+    tris = flat_pt[gidx].reshape(A, 5, 3, 3)[:, :, ::-1, :]
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (A, 5), 1)
+    valid = (slot < tcounts[:, None]) & valid_cube[:, None]
+    total = jnp.sum(valid.astype(jnp.int32))
+
+    # gather-based compaction: scatter only the row permutation (1 i32 per
+    # row), then gather the 9-float triangles
+    mask = valid.reshape(A * 5)
+    tpos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    tdest = jnp.where(mask, tpos, t_size)
+    perm = jnp.full((t_size + 1,), -1, jnp.int32)
+    perm = perm.at[tdest].set(jnp.arange(A * 5, dtype=jnp.int32), mode="drop")[
+        :t_size
+    ]
+    out = jnp.where(
+        (perm >= 0)[:, None, None],
+        tris.reshape(A * 5, 3, 3)[jnp.maximum(perm, 0)],
+        0.0,
+    )
+    return out, total
+
+
+def dense_grid_mc(grid, origin, res, k0, a_size, t_size):
+    """Full dense-grid marching cubes from a device-resident corner grid:
+    classify -> compact -> gather -> emit. grid (nk,nj,ni); k0 is the
+    grid's plane offset along z (slab/shard rendering) so positions are
+    bit-exact with a whole-grid render.
+
+    Returns (tris (t_size,3,3), n_active, total)."""
+    nk, nj, ni = grid.shape
+    nx, ny = ni - 1, nj - 1
+    index, active = classify(grid, res)
+    n_active = jnp.sum(active.astype(jnp.int32))
+    cube_idx = compact_indices(active.reshape(-1), a_size)
+
+    safe = jnp.maximum(cube_idx, 0)
+    ci = safe % nx
+    cj = (safe // nx) % ny
+    ck = safe // (nx * ny)
+    base_lin = ck * (nj * ni) + cj * ni + ci
+    v = gather_corners(grid.reshape(-1), base_lin, ni, nj * ni)
+    pc = corner_positions(
+        origin,
+        res,
+        ci.astype(jnp.float32),
+        cj.astype(jnp.float32),
+        ck.astype(jnp.float32) + k0,
+    )
+    tris, total = emit_triangles(v, pc, cube_idx >= 0, t_size)
+    return tris, n_active, total

@@ -87,97 +87,14 @@ def sharded_render_step(tree: Shader3D, mesh: Mesh, shape, max_tris_per_shard: i
     shard d. Triangles of shard d are in reference cube order within the
     shard, so concatenation preserves global order.
     """
-    from ..ops.mc_tables import MC_TRI_COUNT, MC_TRI_TABLE
-    from ..ops.marching_cubes import (
-        _CORNER_OFFSETS,
-        _CUBE_DIAG_FACTOR,
-        _MC_EPS,
-        MC_EDGE_PAIRS,
-    )
+    from ..ops.mc_emit import dense_grid_mc
 
     nk, nj, ni = (int(x) for x in shape)
     n_dev = mesh.devices.size
     if nk % n_dev != 0:
         raise ValueError(f"slab axis {nk} not divisible by {n_dev} devices")
     nk_local = nk // n_dev
-    nx, ny = ni - 1, nj - 1
     M = int(max_tris_per_shard)
-
-    def local_mc(grid_ext, origin, res, k0):
-        """Marching cubes over one shard's cubes. grid_ext includes the halo
-        plane: (nk_local+1, nj, ni)."""
-        c = (
-            grid_ext[:-1, :-1, :-1],
-            grid_ext[:-1, :-1, 1:],
-            grid_ext[:-1, 1:, 1:],
-            grid_ext[:-1, 1:, :-1],
-            grid_ext[1:, :-1, :-1],
-            grid_ext[1:, :-1, 1:],
-            grid_ext[1:, 1:, 1:],
-            grid_ext[1:, 1:, :-1],
-        )
-        index = jnp.zeros(c[0].shape, dtype=jnp.int32)
-        for b, v in enumerate(c):
-            index = index | (jnp.int32(v < 0.0) << b)
-        counts = jnp.asarray(MC_TRI_COUNT)[index]
-        keep = jnp.abs(c[0]) <= _CUBE_DIAG_FACTOR * res
-        counts = jnp.where(keep, counts, 0)
-        active = counts > 0
-        n_act = jnp.sum(active.astype(jnp.int32))
-        (cube_idx,) = jnp.nonzero(active.ravel(), size=M, fill_value=-1)
-
-        A = M
-        safe = jnp.maximum(cube_idx, 0)
-        ci = safe % nx
-        cj = (safe // nx) % ny
-        ck = safe // (nx * ny)
-        gflat = grid_ext.ravel()
-        offs = jnp.asarray(_CORNER_OFFSETS)
-        gi = (
-            (ck[:, None] + offs[None, :, 2]) * (nj * ni)
-            + (cj[:, None] + offs[None, :, 1]) * ni
-            + (ci[:, None] + offs[None, :, 0])
-        )
-        v = gflat[gi]
-        base = jnp.stack(
-            [
-                origin[0] + ci.astype(jnp.float32) * res,
-                origin[1] + cj.astype(jnp.float32) * res,
-                origin[2] + (ck + k0).astype(jnp.float32) * res,
-            ],
-            axis=-1,
-        )
-        pc = base[:, None, :] + offs[None, :, :].astype(jnp.float32) * res
-        idx8 = jnp.zeros((A,), dtype=jnp.int32)
-        for b in range(8):
-            idx8 = idx8 | (jnp.int32(v[:, b] < 0.0) << b)
-        pairs = jnp.asarray(MC_EDGE_PAIRS)
-        va, vb = v[:, pairs[:, 0]], v[:, pairs[:, 1]]
-        pa, pb = pc[:, pairs[:, 0], :], pc[:, pairs[:, 1], :]
-        ca_, cb_ = jnp.abs(va) < _MC_EPS, jnp.abs(vb) < _MC_EPS
-        t = jnp.where(ca_ & cb_, 0.5, (0.0 - va) / (vb - va))
-        pt = pa + t[..., None] * (pb - pa)
-        pt = jnp.where((cb_ & ~ca_)[..., None], pb, pt)
-        pt = jnp.where((ca_ & ~cb_)[..., None], pa, pt)
-        table = jnp.asarray(MC_TRI_TABLE)[idx8]
-        tcounts = jnp.asarray(MC_TRI_COUNT)[idx8]
-        flat_pt = pt.reshape(A * 12, 3)
-        gidx = (
-            jax.lax.broadcasted_iota(jnp.int32, (A, 5, 3), 0) * 12
-            + jnp.maximum(table, 0)
-        ).reshape(-1)
-        tris = flat_pt[gidx].reshape(A, 5, 3, 3)[:, :, ::-1, :]
-        slot = jax.lax.broadcasted_iota(jnp.int32, (A, 5), 1)
-        rowi = jax.lax.broadcasted_iota(jnp.int32, (A, 5), 0)
-        valid = (slot < tcounts[:, None]) & (rowi < n_act) & (cube_idx[:, None] >= 0)
-        total = jnp.sum(jnp.where(valid, 1, 0))
-        (tidx,) = jnp.nonzero(valid.reshape(A * 5), size=M, fill_value=-1)
-        out = jnp.where(
-            (tidx >= 0)[:, None, None],
-            tris.reshape(A * 5, 3, 3)[jnp.maximum(tidx, 0)],
-            0.0,
-        )
-        return out, total, n_act
 
     @functools.partial(
         shard_map,
@@ -200,7 +117,11 @@ def sharded_render_step(tree: Shader3D, mesh: Mesh, shape, max_tris_per_shard: i
             axis=-1,
         )
         grid_ext = tree.distance(p)
-        tris, total, n_act = local_mc(grid_ext, origin, res, k0)
+        # shared MC-emit kernel over this shard's cubes; grid_ext includes
+        # the +z halo plane, k0 keeps positions bit-exact with whole-grid
+        tris, n_act, total = dense_grid_mc(
+            grid_ext, origin, res, k0.astype(jnp.float32), M, M
+        )
         return tris[None], total[None], n_act[None]
 
     return jax.jit(step)

@@ -30,8 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.node import Shader3D
-from ..ops.mc_tables import MC_EDGE_PAIRS, MC_TRI_COUNT, MC_TRI_TABLE
-from ..ops.marching_cubes import _CORNER_OFFSETS, _CUBE_DIAG_FACTOR, _MC_EPS, _bucket
+from ..ops import mc_emit
+from ..ops.marching_cubes import _bucket
 
 _f32 = np.float32
 
@@ -105,31 +105,12 @@ def _tile_mc_fn(tree, S, n_tiles, a_size, t_size, device):
             )
             grid = tree.distance(p)  # (T,P,P,P) [k,j,i] within tile
 
-            c = (
-                grid[:, :-1, :-1, :-1],
-                grid[:, :-1, :-1, 1:],
-                grid[:, :-1, 1:, 1:],
-                grid[:, :-1, 1:, :-1],
-                grid[:, 1:, :-1, :-1],
-                grid[:, 1:, :-1, 1:],
-                grid[:, 1:, 1:, 1:],
-                grid[:, 1:, 1:, :-1],
-            )
-            index = jnp.zeros(c[0].shape, dtype=jnp.int32)
-            for b, v in enumerate(c):
-                index = index | (jnp.int32(v < 0.0) << b)
-            keep = jnp.abs(c[0]) <= _CUBE_DIAG_FACTOR * res
             valid_tile = (tile_ijk[:, 0] >= 0)[:, None, None, None]
-            active = keep & (index != 0) & (index != 255) & valid_tile
+            index, active = mc_emit.classify(grid, res, extra_mask=valid_tile)
             n_active = jnp.sum(active.astype(jnp.int32))
 
             # compact active cube slots: flat id = ((t*S+k)*S+j)*S+i
-            flat_active = active.reshape(-1)
-            pos = jnp.cumsum(flat_active.astype(jnp.int32)) - 1
-            ids = jnp.arange(flat_active.shape[0], dtype=jnp.int32)
-            dest = jnp.where(flat_active, pos, a_size)
-            cube_id = jnp.full((a_size + 1,), -1, jnp.int32)
-            cube_id = cube_id.at[dest].set(ids, mode="drop")[:a_size]
+            cube_id = mc_emit.compact_indices(active.reshape(-1), a_size)
 
             safe = jnp.maximum(cube_id, 0)
             ci = safe % S
@@ -138,57 +119,18 @@ def _tile_mc_fn(tree, S, n_tiles, a_size, t_size, device):
             ct = safe // (S * S * S)  # tile slot
 
             # gather the 8 corner values from the tile grid atlas
-            gflat = grid.reshape(-1)
-            offs = jnp.asarray(_CORNER_OFFSETS)
-            gi = (
-                ct[:, None] * (P * P * P)
-                + (ck[:, None] + offs[None, :, 2]) * (P * P)
-                + (cj[:, None] + offs[None, :, 1]) * P
-                + (ci[:, None] + offs[None, :, 0])
-            )
-            v = gflat[gi]  # (A,8)
+            base_lin = ct * (P * P * P) + ck * (P * P) + cj * P + ci
+            v = mc_emit.gather_corners(grid.reshape(-1), base_lin, P, P * P)
             tb = base[ct]  # (A,3) tile corner-index offsets [i,j,k]
-            pb0 = jnp.stack(
-                [
-                    origin[0] + (tb[:, 0] + ci.astype(jnp.float32)) * res,
-                    origin[1] + (tb[:, 1] + cj.astype(jnp.float32)) * res,
-                    origin[2] + (tb[:, 2] + ck.astype(jnp.float32)) * res,
-                ],
-                axis=-1,
+            pc = mc_emit.corner_positions(
+                origin,
+                res,
+                tb[:, 0] + ci.astype(jnp.float32),
+                tb[:, 1] + cj.astype(jnp.float32),
+                tb[:, 2] + ck.astype(jnp.float32),
             )
-            pc = pb0[:, None, :] + offs[None, :, :].astype(jnp.float32) * res
-
-            idx8 = jnp.zeros((a_size,), dtype=jnp.int32)
-            for b in range(8):
-                idx8 = idx8 | (jnp.int32(v[:, b] < 0.0) << b)
-
-            pairs = jnp.asarray(MC_EDGE_PAIRS)
-            va, vb = v[:, pairs[:, 0]], v[:, pairs[:, 1]]
-            pa, pbb = pc[:, pairs[:, 0], :], pc[:, pairs[:, 1], :]
-            ca_, cb_ = jnp.abs(va) < _MC_EPS, jnp.abs(vb) < _MC_EPS
-            t = jnp.where(ca_ & cb_, 0.5, (0.0 - va) / (vb - va))
-            pt = pa + t[..., None] * (pbb - pa)
-            pt = jnp.where((cb_ & ~ca_)[..., None], pbb, pt)
-            pt = jnp.where((ca_ & ~cb_)[..., None], pa, pt)  # (A,12,3)
-
-            table = jnp.asarray(MC_TRI_TABLE)[idx8]
-            tcounts = jnp.asarray(MC_TRI_COUNT)[idx8]
-            flat_pt = pt.reshape(a_size * 12, 3)
-            gidx = (
-                jax.lax.broadcasted_iota(jnp.int32, (a_size, 5, 3), 0) * 12
-                + jnp.maximum(table, 0)
-            ).reshape(-1)
-            tris = flat_pt[gidx].reshape(a_size, 5, 3, 3)[:, :, ::-1, :]
-            slot = jax.lax.broadcasted_iota(jnp.int32, (a_size, 5), 1)
-            valid = (slot < tcounts[:, None]) & (cube_id[:, None] >= 0)
-            total = jnp.sum(valid.astype(jnp.int32))
-
-            mask = valid.reshape(a_size * 5)
-            pos2 = jnp.cumsum(mask.astype(jnp.int32)) - 1
-            dest2 = jnp.where(mask, pos2, t_size)
-            out = jnp.zeros((t_size + 1, 3, 3), jnp.float32)
-            out = out.at[dest2].set(tris.reshape(a_size * 5, 3, 3), mode="drop")
-            return out[:t_size], n_active, total
+            out, total = mc_emit.emit_triangles(v, pc, cube_id >= 0, t_size)
+            return out, n_active, total
 
         jitted = jax.jit(impl)
 
