@@ -41,9 +41,12 @@ def build_flange():
     return bld.scale(union, 25.4)
 
 
+GOLDEN_FLANGE_TRIS = 423852  # reference README.md:116 / glrender discipline
+
+
 def main():
     from gsdf_tpu.render.flat import FlatRenderer
-    from gsdf_tpu.render.stl import write_binary_stl
+    from gsdf_tpu.render.stl import write_binary_stl_indexed
 
     obj = build_flange()
     res = obj.bounds().diagonal() / 400
@@ -51,14 +54,19 @@ def main():
     def run():
         t0 = time.monotonic()
         fr = FlatRenderer(obj, res)
-        verts, tri_idx = fr.render_indexed()  # welded one-dispatch path
-        tris = verts[tri_idx]
+        # compact-field production path: one dispatch, ~2 MB fetch,
+        # native host decode + indexed STL encode
+        verts, tri_idx = fr.render_compact()
         buf = io.BytesIO()
-        write_binary_stl(buf, tris)
-        return (time.monotonic() - t0) * 1e3, len(tris)
+        write_binary_stl_indexed(buf, verts, tri_idx)
+        return (time.monotonic() - t0) * 1e3, len(tri_idx)
 
     # warm-up: compile or load persistent cache
     _, ntris = run()
+    # the perf number is also a correctness gate: exact reference count
+    assert ntris == GOLDEN_FLANGE_TRIS, (
+        f"triangle count {ntris} != golden {GOLDEN_FLANGE_TRIS}"
+    )
     times = [run()[0] for _ in range(5)]  # link latency is noisy; median of 5
     value = statistics.median(times)
     baseline_ms = 706.0 + 371.0  # reference RX6800 render + STL write

@@ -25,6 +25,10 @@ def _build() -> bool:
         subprocess.run(
             [
                 "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                # deterministic f32: no FMA contraction, so vertex
+                # reconstruction (gsdf_mc_decode) is reproducible and
+                # matches the documented reference arithmetic
+                "-ffp-contract=off",
                 "-o", _SO_PATH, _SRC,
             ],
             check=True,
@@ -66,6 +70,30 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.gsdf_weld.restype = ctypes.c_int64
+        lib.gsdf_mc_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32),  # idw
+            ctypes.c_int64,  # n_active
+            ctypes.POINTER(ctypes.c_float),  # tvals
+            ctypes.c_int64,  # n_verts
+            ctypes.c_int32,  # nx
+            ctypes.c_int32,  # ny
+            ctypes.c_int32,  # nz
+            ctypes.POINTER(ctypes.c_float),  # origin[3]
+            ctypes.c_float,  # res
+            ctypes.POINTER(ctypes.c_int8),  # tri_table
+            ctypes.POINTER(ctypes.c_uint8),  # tri_count
+            ctypes.POINTER(ctypes.c_uint8),  # edge_axis
+            ctypes.POINTER(ctypes.c_int8),  # edge_low
+            ctypes.POINTER(ctypes.c_float),  # verts_out
+            ctypes.POINTER(ctypes.c_int32),  # tri_idx_out
+        ]
+        lib.gsdf_mc_decode.restype = ctypes.c_int64
+        lib.gsdf_stl_encode_indexed.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_ubyte),
+        ]
         _lib = lib
     except OSError:
         _lib = None
@@ -148,3 +176,167 @@ def weld(tris: np.ndarray, tol: float = 0.0):
         idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return verts[:nv].copy(), idx.reshape(-1, 3)
+
+
+def _mc_host_tables():
+    """Flattened table views for the decoder, built once from the single
+    canonical source (ops/mc_tables.py, ops/mc_emit.py)."""
+    global _MC_HOST_TABLES
+    try:
+        return _MC_HOST_TABLES
+    except NameError:
+        pass
+    from ..ops import mc_emit
+    from ..ops.mc_tables import MC_TRI_COUNT, MC_TRI_TABLE
+
+    _MC_HOST_TABLES = (
+        np.ascontiguousarray(MC_TRI_TABLE, np.int8),  # (256,5,3)
+        np.ascontiguousarray(MC_TRI_COUNT, np.uint8),  # (256,)
+        np.ascontiguousarray(mc_emit.EDGE_AXIS, np.uint8),  # (12,)
+        np.ascontiguousarray(mc_emit.EDGE_LOW, np.int8),  # (12,3)
+    )
+    return _MC_HOST_TABLES
+
+
+def _crossing_bits(idx8):
+    """Which of the 3 owner (low) edges cross, straight from the case
+    byte's sign bits — bit k is the sign of corner k."""
+    b0 = idx8 & 1
+    return np.stack(
+        [
+            b0 != ((idx8 >> 1) & 1),
+            b0 != ((idx8 >> 3) & 1),
+            b0 != ((idx8 >> 4) & 1),
+        ],
+        axis=-1,
+    )  # (A,3) bool
+
+
+def _mc_decode_numpy(idw, tvals, nx, ny, nz, origin, res):
+    """Vectorized fallback decoder (same output as gsdf_mc_decode)."""
+    tri_table, tri_count, edge_axis, edge_low = _mc_host_tables()
+    ids = (idw & 0xFFFFFF).astype(np.int64)
+    idx8 = (idw >> 24).astype(np.int32)
+    A = len(ids)
+    ci = (ids % nx).astype(np.int32)
+    cj = ((ids // nx) % ny).astype(np.int32)
+    ck = (ids // (nx * ny)).astype(np.int32)
+
+    cross = _crossing_bits(idx8)  # (A,3)
+    nvert_per = cross.sum(axis=1)
+    vbase = np.zeros(A + 1, np.int64)
+    np.cumsum(nvert_per, out=vbase[1:])
+    n_verts = int(vbase[-1])
+    if n_verts != len(tvals):
+        raise ValueError("payload vertex count mismatch")
+
+    # vertices: flat (cube-major, axis x,y,z) order matches the device scan
+    flat = cross.reshape(-1)
+    where = np.nonzero(flat)[0]
+    vcube = (where // 3).astype(np.int64)
+    vaxis = (where % 3).astype(np.int64)
+    res32 = _f32(res)
+    origin = np.asarray(origin, _f32)
+    pa = np.stack(
+        [
+            origin[0] + ci.astype(_f32) * res32,
+            origin[1] + cj.astype(_f32) * res32,
+            origin[2] + ck.astype(_f32) * res32,
+        ],
+        axis=-1,
+    )  # (A,3) f32
+    verts = pa[vcube].copy()
+    paa = verts[np.arange(n_verts), vaxis]
+    pb = (paa + res32).astype(_f32)
+    t = np.asarray(tvals, _f32)
+    interp = (paa + t * (pb - paa)).astype(_f32)
+    verts[np.arange(n_verts), vaxis] = np.where(t == 1.0, pb, interp)
+
+    # triangles: table walk vectorized over (A,5,3)
+    tbl = tri_table.astype(np.int32)[idx8]  # (A,5,3), -1 padded
+    counts = tri_count[idx8].astype(np.int32)  # (A,)
+    e = np.maximum(tbl, 0)
+    eax = edge_axis.astype(np.int64)[e]  # (A,5,3)
+    elow = edge_low.astype(np.int64)[e]  # (A,5,3,3)
+    oi = np.minimum(ci[:, None, None] + elow[..., 0], nx - 1)
+    oj = np.minimum(cj[:, None, None] + elow[..., 1], ny - 1)
+    ok = np.minimum(ck[:, None, None] + elow[..., 2], nz - 1)
+    owner_lin = (ok * ny + oj) * nx + oi  # (A,5,3)
+    slot_map = np.full(nx * ny * nz, -1, np.int32)
+    slot_map[ids] = np.arange(A, dtype=np.int32)
+    oslot = slot_map[owner_lin]  # (A,5,3)
+    valid = np.arange(5, dtype=np.int32)[None, :] < counts[:, None]  # (A,5)
+    if (oslot < 0)[valid].any():
+        raise ValueError("unresolved owner cube (non-Lipschitz field?)")
+    os_safe = np.maximum(oslot, 0)
+    ocross = _crossing_bits(idx8[os_safe]).astype(np.int64)  # (A,5,3,3)
+    rank = np.where(
+        eax == 0, 0, np.where(eax == 1, ocross[..., 0], ocross[..., 0] + ocross[..., 1])
+    )
+    vid = vbase[os_safe] + rank  # (A,5,3)
+    vid = vid[:, :, ::-1]  # reference winding (reversed triples)
+    tri_idx = vid[valid].astype(np.int32)  # compact valid rows -> (T,3)
+    return verts, tri_idx
+
+
+def mc_decode(idw, tvals, nx, ny, nz, origin, res):
+    """Decode a compact-field payload into an indexed mesh.
+
+    idw (A,) uint32 = cube id | case<<24; tvals (V,) f32 interpolation
+    parameters. Returns (verts (V,3) f32, tri_idx (T,3) i32). Raises
+    ValueError when an owner reference is unresolvable (caller falls back
+    to the device welded path)."""
+    idw = np.ascontiguousarray(idw, np.uint32)
+    tvals = np.ascontiguousarray(tvals, _f32)
+    lib = get_lib()
+    if lib is None:
+        return _mc_decode_numpy(idw, tvals, nx, ny, nz, origin, res)
+    tri_table, tri_count, edge_axis, edge_low = _mc_host_tables()
+    n_active = len(idw)
+    n_verts = len(tvals)
+    total = int(tri_count[(idw >> 24)].astype(np.int64).sum())
+    verts = np.empty((n_verts, 3), _f32)
+    tri_idx = np.empty((total, 3), np.int32)
+    origin32 = np.ascontiguousarray(origin, _f32)
+    got = lib.gsdf_mc_decode(
+        idw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        n_active,
+        tvals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_verts,
+        nx,
+        ny,
+        nz,
+        origin32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_float(res),
+        tri_table.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        tri_count.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        edge_axis.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        edge_low.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        tri_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if got != total:
+        raise ValueError(
+            f"mc_decode failed (got {got}, expected {total}): "
+            "unresolved owner cube (non-Lipschitz field?)"
+        )
+    return verts, tri_idx
+
+
+def stl_encode_indexed(verts: np.ndarray, tri_idx: np.ndarray) -> bytes:
+    """Indexed mesh -> STL record bytes (T*50), gather+normal+pack in one
+    native pass. Numpy fallback composes the soup encoder."""
+    verts = np.ascontiguousarray(verts, _f32)
+    tri_idx = np.ascontiguousarray(tri_idx, np.int32)
+    n = tri_idx.shape[0]
+    lib = get_lib()
+    if lib is None:
+        return stl_encode(verts[tri_idx])
+    out = np.empty(n * 50, np.uint8)
+    lib.gsdf_stl_encode_indexed(
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        tri_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    return out.tobytes()

@@ -111,4 +111,141 @@ int64_t gsdf_weld(const float* tris, int64_t n, float tol, float* verts_out,
     return unique;
 }
 
+// Marching-cubes table walk for the compact-field render path
+// (ops/compact_field.py). The device ships only (cube id | case byte)
+// words and per-crossing-edge interpolation parameters; this reconstructs
+// the indexed mesh with the same float32 arithmetic as the device — the
+// host-side table walk the reference also performs
+// (glrender/marchcubes.go:34 consumed after GPU evaluation).
+//
+// Tables are passed in from Python (ops/mc_tables.py) so the 256-case
+// data lives in exactly one place:
+//   tri_table: 256*5*3 int8 edge ids (-1 padded)
+//   tri_count: 256 uint8
+//   edge_axis: 12 uint8 (0=x,1=y,2=z of each cube edge)
+//   edge_low:  12*3 int8 (owner-cube offset of each cube edge)
+//
+// Returns the number of triangles written, or -1 if an owner-cube
+// reference could not be resolved (non-Lipschitz field pruned an owner;
+// caller falls back to the device welded path).
+int64_t gsdf_mc_decode(const uint32_t* idw, int64_t n_active,
+                       const float* tvals, int64_t n_verts, int32_t nx,
+                       int32_t ny, int32_t nz, const float* origin, float res,
+                       const int8_t* tri_table, const uint8_t* tri_count,
+                       const uint8_t* edge_axis, const int8_t* edge_low,
+                       float* verts_out, int32_t* tri_idx_out) {
+    const int64_t ncubes = (int64_t)nx * ny * nz;
+    std::vector<int32_t> slot(ncubes, -1);
+    std::vector<int32_t> vbase(n_active + 1, 0);
+
+    // pass 1: slot map, vertex-base prefix, vertex coordinates
+    int64_t vc = 0;
+    for (int64_t a = 0; a < n_active; a++) {
+        const uint32_t w = idw[a];
+        const uint32_t id = w & 0xFFFFFFu;
+        const uint32_t c = w >> 24;
+        slot[id] = (int32_t)a;
+        vbase[a] = (int32_t)vc;
+        const uint32_t b0 = c & 1u;
+        const uint32_t cross[3] = {b0 ^ ((c >> 1) & 1u), b0 ^ ((c >> 3) & 1u),
+                                   b0 ^ ((c >> 4) & 1u)};
+        const int32_t ci = (int32_t)(id % (uint32_t)nx);
+        const int32_t cj = (int32_t)((id / (uint32_t)nx) % (uint32_t)ny);
+        const int32_t ck = (int32_t)(id / ((uint32_t)nx * (uint32_t)ny));
+        // reference float32 arithmetic: origin + index*res, +res per axis
+        const float pa[3] = {origin[0] + (float)ci * res,
+                             origin[1] + (float)cj * res,
+                             origin[2] + (float)ck * res};
+        for (int ax = 0; ax < 3; ax++) {
+            if (!cross[ax]) continue;
+            if (vc >= n_verts) return -1;  // corrupt payload
+            const float t = tvals[vc];
+            float* o = verts_out + vc * 3;
+            o[0] = pa[0];
+            o[1] = pa[1];
+            o[2] = pa[2];
+            const float pb = pa[ax] + res;
+            o[ax] = (t == 1.0f) ? pb : pa[ax] + t * (pb - pa[ax]);
+            vc++;
+        }
+    }
+    vbase[n_active] = (int32_t)vc;
+
+    // pass 2: triangle table walk (reference winding: reversed triples)
+    int64_t tc = 0;
+    for (int64_t a = 0; a < n_active; a++) {
+        const uint32_t w = idw[a];
+        const uint32_t id = w & 0xFFFFFFu;
+        const uint32_t c = w >> 24;
+        const int32_t ci = (int32_t)(id % (uint32_t)nx);
+        const int32_t cj = (int32_t)((id / (uint32_t)nx) % (uint32_t)ny);
+        const int32_t ck = (int32_t)(id / ((uint32_t)nx * (uint32_t)ny));
+        const int nt = tri_count[c];
+        const int8_t* row = tri_table + (int64_t)c * 15;
+        for (int s = 0; s < nt; s++) {
+            int32_t vid[3];
+            for (int j = 0; j < 3; j++) {
+                const int e = row[s * 3 + j];
+                const int ax = edge_axis[e];
+                const int32_t oi = ci + edge_low[e * 3 + 0];
+                const int32_t oj = cj + edge_low[e * 3 + 1];
+                const int32_t ok = ck + edge_low[e * 3 + 2];
+                if (oi >= nx || oj >= ny || ok >= nz) return -1;
+                const int64_t olin =
+                    ((int64_t)ok * ny + oj) * nx + oi;
+                const int32_t os = slot[olin];
+                if (os < 0) return -1;  // owner not active
+                const uint32_t oc = idw[os] >> 24;
+                const uint32_t ob0 = oc & 1u;
+                const uint32_t ocx = ob0 ^ ((oc >> 1) & 1u);
+                const uint32_t ocy = ob0 ^ ((oc >> 3) & 1u);
+                int rank = 0;
+                if (ax == 1)
+                    rank = (int)ocx;
+                else if (ax == 2)
+                    rank = (int)(ocx + ocy);
+                vid[j] = vbase[os] + rank;
+            }
+            // winding: Triangle{points[t2], points[t1], points[t0]}
+            int32_t* out = tri_idx_out + tc * 3;
+            out[0] = vid[2];
+            out[1] = vid[1];
+            out[2] = vid[0];
+            tc++;
+        }
+    }
+    return tc;
+}
+
+// Encode an indexed mesh directly into binary STL records (gather +
+// normal + pack in one pass; skips materializing the 36 B/triangle soup).
+void gsdf_stl_encode_indexed(const float* verts, const int32_t* tri_idx,
+                             int64_t n, unsigned char* out) {
+    for (int64_t i = 0; i < n; i++) {
+        const int32_t* ix = tri_idx + i * 3;
+        const float* a = verts + (int64_t)ix[0] * 3;
+        const float* b = verts + (int64_t)ix[1] * 3;
+        const float* c = verts + (int64_t)ix[2] * 3;
+        float e1x = b[0] - a[0], e1y = b[1] - a[1], e1z = b[2] - a[2];
+        float e2x = c[0] - a[0], e2y = c[1] - a[1], e2z = c[2] - a[2];
+        float nxv = e1y * e2z - e1z * e2y;
+        float nyv = e1z * e2x - e1x * e2z;
+        float nzv = e1x * e2y - e1y * e2x;
+        float len = std::sqrt(nxv * nxv + nyv * nyv + nzv * nzv);
+        if (len > 0) {
+            nxv /= len;
+            nyv /= len;
+            nzv /= len;
+        }
+        unsigned char* rec = out + i * 50;
+        float hdr[3] = {nxv, nyv, nzv};
+        std::memcpy(rec, hdr, 12);
+        std::memcpy(rec + 12, a, 12);
+        std::memcpy(rec + 24, b, 12);
+        std::memcpy(rec + 36, c, 12);
+        rec[48] = 0;
+        rec[49] = 0;
+    }
+}
+
 }  // extern "C"

@@ -1,0 +1,214 @@
+"""Compact-field renderer: the minimal-transfer production path.
+
+Over a tunneled device link the render budget is dominated by (a) the
+device->host payload and (b) per-active-cube gather/emit work on device
+(docs/PERFORMANCE.md). This path moves the marching-cubes TABLE WALK to
+the host (exactly where the reference runs it — its GPU evaluates
+distances and marchCubes runs on host, glrender/octreerenderer.go:131 ->
+marchcubes.go:34) while keeping everything O(grid) on device:
+
+device (ONE dispatch, ONE fetch):
+  grid eval -> classification -> active-cube compaction ->
+  per-owner-edge interpolation parameter t -> packed buffer
+    [n_active, n_verts,
+     idw (A u32): cube linear id (24 bits) | case index (8 bits),
+     t   (V f32): compacted crossing-edge parameters]
+
+host (native C++, numpy fallback):
+  decode idw -> reconstruct vertex coordinates from (cube id, axis, t)
+  with the same float32 arithmetic as the device -> walk the 256-case
+  tables -> indexed mesh (verts, tri_idx) or STL bytes directly.
+
+Everything the table walk needs is sign-derived (the case byte), so
+triangle count/order/connectivity are bit-identical to the welded
+device path; vertex coordinates match to the last ulp. Payload is
+~8 B/vertex + 4 B/active-cube ≈ 2 MB on the flange (vs 6 MB welded,
+16.5 MB soup).
+
+The 24-bit cube id limits this path to grids under 2^24 cubes; larger
+grids fall back to the welded path (render/flat.py).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import mc_emit
+from .marching_cubes import _MC_EPS, _bucket
+
+_f32 = np.float32
+
+MAX_CUBES_24BIT = 1 << 24
+
+_cache: dict = {}
+
+
+def build_compact_field(tree, shape, a_size, v_size, device, parametric=False):
+    """Compiled (origin, res, k0[, params]) -> packed 1-D f32 buffer:
+    2 bitcast counts [n_active, n_verts], a_size id words, v_size t floats.
+    """
+    if parametric:
+        from ..eval.parametric import _bind_params, param_spec, structural_hash
+
+        tree.tree_hash()  # pre-cache node hashes before tracer binding
+        key = ("param", structural_hash(tree), tuple(shape), a_size, v_size, device)
+    else:
+        key = (tree.tree_hash(), tuple(shape), a_size, v_size, device)
+    fn = _cache.get(key)
+    if fn is not None:
+        return fn
+
+    nk, nj, ni = (int(x) for x in shape)
+    nx, ny, nz = ni - 1, nj - 1, nk - 1
+    if nx * ny * nz >= MAX_CUBES_24BIT:
+        raise ValueError("grid too large for 24-bit cube ids")
+    A = int(a_size)
+    V = int(v_size)
+
+    def impl(origin, res, k0):
+        iz = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 0) + k0
+        iy = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 1)
+        ix = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 2)
+        p = jnp.stack(
+            [origin[0] + ix * res, origin[1] + iy * res, origin[2] + iz * res],
+            axis=-1,
+        )
+        grid = tree.distance(p)
+
+        index, active = mc_emit.classify(grid, res)
+        n_active = jnp.sum(active.astype(jnp.int32))
+        cube_id = mc_emit.compact_indices(active.reshape(-1), A)
+        valid = cube_id >= 0
+        safe = jnp.maximum(cube_id, 0)
+
+        # case byte: gather from the dense classification (1 i32/cube)
+        idx8 = index.reshape(-1)[safe]
+
+        # corner 0 and the 3 low-edge far corners (+x,+y,+z): 4 gathers
+        ci = safe % nx
+        cj = (safe // nx) % ny
+        ck = safe // (nx * ny)
+        base_lin = ck * (nj * ni) + cj * ni + ci
+        gflat = grid.reshape(-1)
+        strides = jnp.asarray(np.array([0, 1, ni, nj * ni], np.int32))
+        v4 = gflat[base_lin[:, None] + strides[None, :]]  # (A,4): v0,vx,vy,vz
+        v0 = v4[:, 0:1]
+        vfar = v4[:, 1:]
+
+        # crossing low edges straight from the case byte's sign bits
+        b0 = idx8 & 1
+        cx = b0 != ((idx8 >> 1) & 1)
+        cy = b0 != ((idx8 >> 3) & 1)
+        cz = b0 != ((idx8 >> 4) & 1)
+        crossing = jnp.stack([cx, cy, cz], axis=-1) & valid[:, None]  # (A,3)
+
+        # interpolation parameter with the reference's epsilon rules
+        # (mcInterpolate, marchcubes.go:76-98); endpoint snaps are BAKED
+        # INTO t (0 or 1) so the host can reconstruct from t alone
+        ca = jnp.abs(v0) < _MC_EPS
+        cb = jnp.abs(vfar) < _MC_EPS
+        t = jnp.where(ca & cb, 0.5, (0.0 - v0) / (vfar - v0))
+        t = jnp.where(cb & ~ca, 1.0, t)
+        t = jnp.where(ca & ~cb, 0.0, t)  # (A,3)
+
+        # compact t over crossing edges, cube-major / axis x,y,z order
+        vflags = crossing.reshape(-1)
+        vpos = jnp.cumsum(vflags.astype(jnp.int32)) - 1
+        n_verts = vpos[-1] + 1
+        vdest = jnp.where(vflags, vpos, V)
+        tvals = jnp.zeros((V + 1,), jnp.float32)
+        tvals = tvals.at[vdest].set(t.reshape(-1), mode="drop")[:V]
+
+        idw = jnp.where(valid, safe | (idx8 << 24), 0)
+
+        counts = jnp.stack([n_active, n_verts])
+        counts_f = jax.lax.bitcast_convert_type(counts, jnp.float32)
+        idw_f = jax.lax.bitcast_convert_type(idw, jnp.float32)
+        return jnp.concatenate([counts_f, idw_f, tvals])
+
+    if parametric:
+        spec = param_spec(tree)
+
+        def impl_param(origin, res, k0, flat):
+            with _bind_params(spec, flat):
+                return impl(origin, res, k0)
+
+        jitted_p = jax.jit(impl_param)
+
+        def fn(origin, res, k0=np.float32(0), params=None, _j=jitted_p, _dev=device):
+            with jax.default_device(_dev):
+                return _j(
+                    jax.device_put(origin, _dev),
+                    _f32(res),
+                    _f32(k0),
+                    jax.device_put(params, _dev),
+                )
+
+        _cache[key] = fn
+        return fn
+
+    jitted = jax.jit(impl)
+
+    def fn(origin, res, k0=np.float32(0), _jitted=jitted, _dev=device):
+        with jax.default_device(_dev):
+            return _jitted(jax.device_put(origin, _dev), _f32(res), _f32(k0))
+
+    _cache[key] = fn
+    return fn
+
+
+def compact_field_render(
+    tree, origin, res, shape, device, size_hint=None, parametric=False
+):
+    """One-dispatch, one-fetch minimal-payload render.
+
+    Returns (idw (n_active,) uint32, tvals (n_verts,) f32, hint) — the
+    host-side decoder (native.mc_decode) turns these into an indexed mesh
+    or STL bytes. Grow-and-retry on buffer overflow, remembered hints per
+    tree (the welded path's discipline)."""
+    nk, nj, ni = (int(x) for x in shape)
+    ncubes = (nk - 1) * (nj - 1) * (ni - 1)
+    if parametric:
+        from ..eval.parametric import pack_params, structural_hash
+
+        hint_key = ("hint-param", structural_hash(tree), tuple(shape))
+        params = jnp.asarray(pack_params(tree))
+    else:
+        hint_key = ("hint", tree.tree_hash(), tuple(shape))
+        params = None
+    if size_hint is None:
+        size_hint = _cache.get(hint_key)
+    if size_hint:
+        a_size, v_size = size_hint
+    else:
+        est = int(12 * ncubes ** (2 / 3)) + 4096
+        a_size = _bucket(min(est, ncubes))
+        v_size = _bucket(int(a_size * 1.5))
+    origin = np.asarray(origin, _f32)
+    while True:
+        fn = build_compact_field(
+            tree, shape, a_size, v_size, device, parametric=parametric
+        )
+        if parametric:
+            packed = np.asarray(fn(jnp.asarray(origin), _f32(res), params=params))
+        else:
+            packed = np.asarray(fn(jnp.asarray(origin), _f32(res)))
+        n_active, n_verts = (int(x) for x in packed[:2].view(np.int32))
+        if n_active <= a_size and n_verts <= v_size:
+            hint = (
+                _bucket(n_active, granule=16384),
+                _bucket(n_verts, granule=16384),
+            )
+            if parametric:
+                prev = _cache.get(hint_key)
+                if prev:
+                    hint = tuple(max(a, b) for a, b in zip(hint, prev))
+            _cache[hint_key] = hint
+            idw = packed[2 : 2 + n_active].view(np.uint32)
+            tvals = packed[2 + a_size : 2 + a_size + n_verts]
+            return idw, tvals, hint
+        if n_active > a_size:
+            a_size = _bucket(n_active, granule=16384)
+        if n_verts > v_size:
+            v_size = _bucket(n_verts, granule=16384)

@@ -33,21 +33,11 @@ _f32 = np.float32
 
 _welded_cache: dict = {}
 
-# per cube-edge e: axis and low-corner offset; the owner cube of edge e of
-# cube c is c + low_offset, and within the owner it is the low edge `axis`.
-_EDGE_AXIS = []
-_EDGE_LOW = []
-for _a, _b in MC_EDGE_PAIRS:
-    oa = _CORNER_OFFSETS[_a]
-    ob = _CORNER_OFFSETS[_b]
-    _axis = int(np.argmax(oa != ob))
-    _EDGE_AXIS.append(_axis)
-    _EDGE_LOW.append(np.minimum(oa, ob))
-_EDGE_AXIS = np.array(_EDGE_AXIS, np.int32)  # (12,)
-_EDGE_LOW = np.array(_EDGE_LOW, np.int32)  # (12,3)
-
-# corner index of the far end of each low edge (x,y,z): corners 1,3,4
-_LOW_EDGE_FAR = np.array([1, 3, 4], np.int32)
+# canonical owner-edge tables live in mc_emit (shared with the native
+# host-side decoder of the compact-field path)
+_EDGE_AXIS = mc_emit.EDGE_AXIS
+_EDGE_LOW = mc_emit.EDGE_LOW
+_LOW_EDGE_FAR = mc_emit.LOW_EDGE_FAR
 
 
 def build_welded_render(tree, shape, a_size, v_size, t_size, device, parametric=False):

@@ -46,6 +46,24 @@ CORNER_OFFSETS = np.array(
 )
 
 
+# per cube-edge e: axis and low-corner offset; the OWNER cube of edge e of
+# cube c is c + low_offset, and within the owner it is the low edge `axis`
+# (welded/compact vertex identity: every crossing edge has exactly one
+# owner whose origin corner is the edge's low end)
+EDGE_AXIS = []
+EDGE_LOW = []
+for _a, _b in MC_EDGE_PAIRS:
+    _oa = CORNER_OFFSETS[_a]
+    _ob = CORNER_OFFSETS[_b]
+    EDGE_AXIS.append(int(np.argmax(_oa != _ob)))
+    EDGE_LOW.append(np.minimum(_oa, _ob))
+EDGE_AXIS = np.array(EDGE_AXIS, np.int32)  # (12,)
+EDGE_LOW = np.array(EDGE_LOW, np.int32)  # (12,3)
+
+# corner index of the far end of each low edge (x,y,z): corners 1,3,4
+LOW_EDGE_FAR = np.array([1, 3, 4], np.int32)
+
+
 def bucket(n: int, minimum: int = 1024, granule: int = 65536) -> int:
     """Round n up: powers of two below `granule`, multiples of `granule`
     above. Bounds both recompile count and padded-transfer waste."""

@@ -122,6 +122,44 @@ class FlatRenderer:
         )
         return verts, tri_idx
 
+    def render_compact(self, parametric: bool = False):
+        """Render to an indexed mesh via the COMPACT-FIELD path — the
+        minimal-transfer production pipeline (ops/compact_field.py): the
+        device ships only active-cube id/case words and edge interpolation
+        parameters (~2 MB on the flange vs 6 MB welded); the native host
+        decoder reconstructs vertices bit-compatibly and walks the MC
+        tables (the host-side table walk the reference also performs,
+        glrender/octreerenderer.go:131 -> marchcubes.go:34).
+
+        Returns (verts (V,3) f32, tri_idx (T,3) i32) — identical counts
+        and connectivity to render_indexed(); vertex coords equal to the
+        last ulp. Falls back to render_indexed() for grids beyond 24-bit
+        cube ids or if an owner reference is unresolvable (non-Lipschitz
+        fields)."""
+        from ..native import mc_decode
+        from ..ops.compact_field import MAX_CUBES_24BIT, compact_field_render
+
+        nk, nj, ni = self.nz + 1, self.ny + 1, self.nx + 1
+        if (
+            self.nx * self.ny * self.nz >= MAX_CUBES_24BIT
+            or nk * nj * ni > self.slab_cubes
+        ):
+            return self.render_indexed(parametric=parametric)
+        self._evaluations += nk * nj * ni
+        idw, tvals, self._compact_hint = compact_field_render(
+            self.s, self.origin, self.res, (nk, nj, ni), self.device,
+            size_hint=getattr(self, "_compact_hint", None)
+            if not parametric
+            else None,
+            parametric=parametric,
+        )
+        try:
+            return mc_decode(
+                idw, tvals, self.nx, self.ny, self.nz, self.origin, self.res
+            )
+        except ValueError:
+            return self.render_indexed(parametric=parametric)
+
     # Cube count above which the fused path splits into z-slabs. Slab
     # pipelining does NOT help latency on remote-tunnel device links (the
     # link serializes dispatch+transfer; measured 690ms single-shot vs

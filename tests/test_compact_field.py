@@ -1,0 +1,92 @@
+"""Compact-field render path (ops/compact_field.py + native mc_decode):
+must reproduce the welded/soup paths exactly in count and connectivity,
+and vertex coordinates to the last ulp."""
+import numpy as np
+import pytest
+
+from gsdf_tpu import Builder
+from gsdf_tpu.render.flat import FlatRenderer
+
+
+def _parts():
+    bld = Builder()
+    yield "sphere", bld.new_sphere(0.9)
+    yield "boolean", bld.difference(
+        bld.smooth_union(0.1, bld.new_sphere(0.8), bld.new_box(1.2, 1.2, 0.5, 0.05)),
+        bld.new_cylinder(0.3, 4.0, 0.0),
+    )
+    yield "torus", bld.new_torus(0.7, 0.25)
+
+
+@pytest.mark.parametrize("name,part", list(_parts()))
+def test_compact_matches_soup(name, part):
+    res = part.bounds().diagonal() / 64
+    fr = FlatRenderer(part, res)
+    verts, tri_idx = fr.render_compact()
+    tris_compact = verts[tri_idx]
+    tris_soup = FlatRenderer(part, res).render()
+    assert len(tris_compact) == len(tris_soup)
+    # same triangles in the same order, ulp-level coordinate agreement
+    np.testing.assert_allclose(
+        tris_compact, tris_soup, atol=1e-5, rtol=1e-6
+    )
+
+
+def test_compact_matches_welded_exactly():
+    """Same vertex enumeration as the welded device path: identical
+    tri_idx arrays and ulp-equal vertices."""
+    bld = Builder()
+    part = bld.smooth_union(0.15, bld.new_sphere(0.7), bld.new_torus(0.8, 0.2))
+    res = part.bounds().diagonal() / 48
+    fr1 = FlatRenderer(part, res)
+    cv, ct = fr1.render_compact()
+    fr2 = FlatRenderer(part, res)
+    wv, wt = fr2.render_indexed()
+    np.testing.assert_array_equal(ct, wt)
+    assert cv.shape == wv.shape
+    np.testing.assert_allclose(cv, wv, atol=1e-5, rtol=1e-6)
+
+
+def test_numpy_fallback_matches_native():
+    """The numpy decoder and the C++ decoder agree bit-for-bit (when the
+    native library is available)."""
+    from gsdf_tpu import native
+    from gsdf_tpu.native import _mc_decode_numpy, mc_decode
+    from gsdf_tpu.ops.compact_field import compact_field_render
+
+    import jax
+
+    bld = Builder()
+    part = bld.new_box(1.0, 0.8, 0.6, 0.1)
+    res = np.float32(0.05)
+    fr = FlatRenderer(part, res)
+    nk, nj, ni = fr.nz + 1, fr.ny + 1, fr.nx + 1
+    idw, tvals, _ = compact_field_render(
+        part, fr.origin, res, (nk, nj, ni), jax.devices()[0]
+    )
+    v_np, t_np = _mc_decode_numpy(
+        np.asarray(idw), np.asarray(tvals), fr.nx, fr.ny, fr.nz, fr.origin, fr.res
+    )
+    if native.get_lib() is None:
+        pytest.skip("no native toolchain")
+    v_c, t_c = mc_decode(idw, tvals, fr.nx, fr.ny, fr.nz, fr.origin, fr.res)
+    np.testing.assert_array_equal(t_np, t_c)
+    np.testing.assert_array_equal(v_np, v_c)
+
+
+def test_stl_encode_indexed_matches_soup_encoder():
+    from gsdf_tpu.native import stl_encode, stl_encode_indexed
+
+    rng = np.random.default_rng(1)
+    verts = rng.standard_normal((64, 3)).astype(np.float32)
+    tri_idx = rng.integers(0, 64, (40, 3)).astype(np.int32)
+    assert stl_encode_indexed(verts, tri_idx) == stl_encode(verts[tri_idx])
+
+
+def test_sphere_golden_compact():
+    """The compact path must hit the same golden count as every other
+    path (glrender/glrender_test.go:96)."""
+    bld = Builder()
+    fr = FlatRenderer(bld.new_sphere(1.0), 1.0 / 33)
+    verts, tri_idx = fr.render_compact()
+    assert tri_idx.shape == (41072, 3)
