@@ -10,7 +10,25 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 # The axon site hook force-registers the TPU plugin and overrides
 # jax_platforms; pin tests back to the virtual-device CPU backend.
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: full-resolution golden-count renders; run with `-m slow`",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    # slow tests run only when explicitly selected (`pytest -m slow`)
+    if config.getoption("-m"):
+        return
+    skip_slow = pytest.mark.skip(reason="slow golden render; run with -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)

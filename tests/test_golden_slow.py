@@ -1,0 +1,53 @@
+"""Flagship-part golden triangle counts, test-enforced.
+
+The reference publishes exact counts for its README benchmark parts
+(README.md:116,152); sphere 41072 is locked in test_render_golden.py and
+these lock the other two. A perf 'optimization' that breaks count parity
+must fail here (and in bench.py's hard assert), mirroring the reference's
+golden-count discipline (glrender/glrender_test.go:83-102).
+
+Full-resolution renders on the CPU oracle — marked slow; run with
+`pytest -m slow` (examples/acceptance.py covers the on-device variant).
+"""
+import numpy as np
+import pytest
+
+from gsdf_tpu.render.flat import FlatRenderer
+
+GOLDEN_FLANGE = 423852  # npt-flange resdiv 400 (reference README.md:116)
+GOLDEN_FLANGE_RES = 0.21679485
+GOLDEN_SHOWERHEAD = 309872  # fibonacci-showerhead resdiv 350 (README.md:152)
+
+
+@pytest.mark.slow
+def test_flange_golden_count():
+    from bench import build_flange
+
+    obj = build_flange()
+    res = obj.bounds().diagonal() / 400
+    assert np.isclose(res, GOLDEN_FLANGE_RES, rtol=1e-6)
+    fr = FlatRenderer(obj, res)
+    verts, tri_idx = fr.render_compact()
+    assert len(tri_idx) == GOLDEN_FLANGE
+    # the soup path must agree with the compact path
+    tris = FlatRenderer(obj, res).render()
+    assert len(tris) == GOLDEN_FLANGE
+
+
+@pytest.mark.slow
+def test_showerhead_golden_count():
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "examples")
+    )
+    from fibonacci_showerhead import scene
+
+    from gsdf_tpu import Builder
+
+    obj = scene(Builder())
+    res = obj.bounds().diagonal() / 350
+    fr = FlatRenderer(obj, res)
+    verts, tri_idx = fr.render_compact()
+    assert len(tri_idx) == GOLDEN_SHOWERHEAD
