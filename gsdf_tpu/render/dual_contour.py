@@ -77,6 +77,8 @@ class DualContourRenderer:
         self._evaluations = 0
 
     def evaluations(self) -> int:
+        """Distinct SDF points evaluated — same contract as
+        FlatRenderer.evaluations()."""
         return self._evaluations
 
     def render(self) -> np.ndarray:

@@ -55,6 +55,11 @@ class FlatRenderer:
         self._evaluations = 0
 
     def evaluations(self) -> int:
+        """Number of distinct SDF grid points evaluated (reference
+        Evaluations(), gleval/cpu.go:126) — uniform meaning across all
+        renderers: every renderer counts the points whose distances the
+        device actually computed for the returned mesh; grow-and-retry
+        re-dispatches of the same grid are counted once."""
         return self._evaluations
 
     def _eval_grid(self):

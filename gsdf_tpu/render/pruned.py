@@ -177,6 +177,9 @@ class PrunedRenderer:
         self._batches = None
 
     def evaluations(self) -> int:
+        """Distinct SDF points evaluated (coarse tile centers + fine
+        corners of surviving tiles) — same contract as
+        FlatRenderer.evaluations()."""
         return self._evaluations
 
     def total_pruned(self) -> int:
