@@ -34,7 +34,7 @@ if __name__ == "__main__":
 
     cyl = body.s2  # the boss cylinder node
     for r in (0.35, 0.5, 0.6, 0.4):
-        object.__setattr__(cyl, "r", np.float32(r))
+        pinned.rebind({cyl: {"r": r}})  # supported parametric-edit API
         t0 = time.monotonic()
         v, i = fr.render_indexed(parametric=True)
         print(

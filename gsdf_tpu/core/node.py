@@ -91,6 +91,52 @@ class Shader:
     def node_count(self) -> int:
         return sum(1 for _ in self.visit_bfs())
 
+    def rebind(self, edits: dict) -> "Shader":
+        """Supported in-place edit of CONTINUOUS parameters — the
+        parametric-editing API (pairs with FlatRenderer's
+        parametric=True renders: same structure, zero recompiles).
+
+        edits: {node: {param_name: new_value}} where each node is an
+        object in THIS tree and each param is listed in that node's
+        CONT_PARAMS. Structural parameters (anything baked into the
+        trace) are rejected — rebuild the tree to change those. Values
+        are cast to float32; array shapes must match (structural-hash
+        stability). Derived continuous pairs (e.g. a transform's matrix
+        and its inverse) must be rebound together.
+
+        All cached structural hashes in the tree are invalidated, so
+        subsequent NON-parametric renders also see the edit (a fresh
+        tree hash -> fresh executable), never a stale cached one.
+        Returns self."""
+        in_tree = {id(n) for n in self.visit_bfs()}
+        for node, kv in edits.items():
+            if id(node) not in in_tree:
+                raise ValueError(f"{type(node).__name__} node is not in this tree")
+            cont = set(getattr(node, "CONT_PARAMS", ()))
+            for name, val in kv.items():
+                if name not in node.PARAMS:
+                    raise AttributeError(
+                        f"{type(node).__name__} has no parameter {name!r}"
+                    )
+                if name not in cont:
+                    raise ValueError(
+                        f"{type(node).__name__}.{name} is structural (baked "
+                        "into the trace); rebuild the tree to change it"
+                    )
+                old = np.asarray(getattr(node, name), np.float32)
+                new = np.asarray(val, np.float32)
+                if new.shape != old.shape:
+                    raise ValueError(
+                        f"{type(node).__name__}.{name}: shape {new.shape} "
+                        f"!= existing {old.shape}"
+                    )
+                object.__setattr__(
+                    node, name, new if new.shape else np.float32(val)
+                )
+        for n in self.visit_bfs():
+            object.__setattr__(n, "_tree_hash_cache", None)
+        return self
+
 
 class Shader3D(Shader):
     """A 3D signed-distance node.
