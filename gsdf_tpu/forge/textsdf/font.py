@@ -24,7 +24,18 @@ _f32 = np.float32
 FIRST_BASIC = ord("!")
 LAST_BASIC = ord("~")
 
+# The EMBEDDED default font: an ASCII subset of DejaVu Sans vendored
+# into the package (vendored/DejaVuSans-ascii.ttf + LICENSE-DejaVu.txt,
+# Bitstream Vera license) — text renders identically on every host, the
+# way the reference embeds iso-3098.ttf (forge/textsdf/embed.go:8-16).
+EMBEDDED_FONT_PATH = os.path.join(
+    os.path.dirname(__file__), "vendored", "DejaVuSans-ascii.ttf"
+)
+
+# system fonts tried only if the vendored file is missing (stripped
+# install); full-unicode use should load_ttf_file an explicit font
 DEFAULT_FONT_PATHS = [
+    EMBEDDED_FONT_PATH,
     "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
     "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
 ]
