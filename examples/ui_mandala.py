@@ -33,7 +33,16 @@ def scene(bld: Builder):
 
 
 if __name__ == "__main__":
-    args = example_args()
+    import sys
+
     bld = Builder()
-    render_png_file_2d("mandala2D.png", scene2d(bld), 768, 768)
-    render_stl(scene(bld), "mandala", args)
+    if "--interactive" in sys.argv:
+        # live orbit/zoom raymarch viewer (reference gsdfaux.UI);
+        # headless hosts fall back to a turntable GIF automatically
+        from gsdf_tpu.pipeline import interactive_view
+
+        interactive_view(scene(bld), width=640, height=640)
+    else:
+        args = example_args()
+        render_png_file_2d("mandala2D.png", scene2d(bld), 768, 768)
+        render_stl(scene(bld), "mandala", args)

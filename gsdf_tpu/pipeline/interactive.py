@@ -1,0 +1,191 @@
+"""Interactive raymarch viewer — the counterpart of the reference's GLFW
+orbit/zoom UI (gsdfaux/ui.go:17-245).
+
+The reference raymarches in a fragment shader and downgrades antialiasing
+while the mouse moves (AA=1 during motion, 3 at rest, ui.go:131-241).
+Here frames come from the device-side sphere tracer
+(visual/raymarch.py); the same motion-adaptive trick renders DRAG frames
+at half resolution / fewer steps and re-renders one full-quality frame at
+rest. The event loop is matplotlib's — no GL/windowing dependency beyond
+what the host already has; with no display (agg backend) callers fall
+back to the headless turntable.
+
+Controls (matching ui.go's bindings):
+  left-drag   orbit (yaw/pitch)
+  scroll      zoom (camera distance)
+  r           reset view
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..core.node import Shader3D
+
+_f32 = np.float32
+
+
+def has_display() -> bool:
+    """True when matplotlib can open an interactive window."""
+    try:
+        import matplotlib
+    except Exception:
+        return False
+    backend = matplotlib.get_backend().lower()
+    if "agg" in backend and "webagg" not in backend:
+        # try to switch to an interactive backend
+        for cand in ("TkAgg", "QtAgg", "GTK4Agg", "MacOSX"):
+            try:
+                matplotlib.use(cand, force=True)
+                return True
+            except Exception:
+                continue
+        return False
+    return True
+
+
+class InteractiveViewer:
+    """Orbit/zoom viewer state machine; testable without a window via
+    `render_current` + the `on_*` handlers."""
+
+    def __init__(
+        self,
+        obj: Shader3D,
+        width: int = 512,
+        height: int = 512,
+        device=None,
+        steps: int = 196,
+        drag_steps: int = 72,
+    ):
+        import jax
+
+        self.obj = obj
+        self.width = int(width)
+        self.height = int(height)
+        self.device = device if device is not None else jax.devices()[0]
+        self.steps = int(steps)
+        self.drag_steps = int(drag_steps)
+        self.reset()
+        self._dragging = False
+        self._last_xy = None
+
+    def reset(self):
+        self.yaw = 0.6
+        self.pitch = 0.5
+        self.cam_dist = 2.4
+
+    # --- rendering ----------------------------------------------------
+    def render_current(self, quality: str = "full") -> np.ndarray:
+        """Render the current view. quality='drag' uses half resolution
+        and fewer steps (motion-adaptive, reference ui.go:131-241)."""
+        from ..visual.raymarch import raymarch_image
+
+        if quality == "drag":
+            w, h, steps = self.width // 2, self.height // 2, self.drag_steps
+        else:
+            w, h, steps = self.width, self.height, self.steps
+        img = raymarch_image(
+            self.obj,
+            width=w,
+            height=h,
+            yaw=self.yaw,
+            pitch=self.pitch,
+            cam_dist=self.cam_dist,
+            steps=steps,
+            device=self.device,
+        )
+        if quality == "drag":
+            img = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+        return img
+
+    # --- event handlers (wired to matplotlib, callable directly) -------
+    def on_press(self, x, y):
+        self._dragging = True
+        self._last_xy = (x, y)
+
+    def on_release(self):
+        self._dragging = False
+        self._last_xy = None
+
+    def on_move(self, x, y) -> bool:
+        """Returns True when the view changed (drag orbit)."""
+        if not self._dragging or self._last_xy is None:
+            return False
+        dx = x - self._last_xy[0]
+        dy = y - self._last_xy[1]
+        self._last_xy = (x, y)
+        # same sensitivity scale as the reference orbit (ui.go:205-214)
+        self.yaw -= dx * 2 * math.pi / self.width
+        self.pitch = min(
+            max(self.pitch + dy * math.pi / self.height, -1.45), 1.45
+        )
+        return True
+
+    def on_scroll(self, step) -> bool:
+        self.cam_dist = float(np.clip(self.cam_dist * 0.9**step, 1.2, 8.0))
+        return True
+
+    # --- event loop ----------------------------------------------------
+    def show(self):
+        """Open the matplotlib window and run the event loop. Raises
+        RuntimeError when no interactive backend exists (callers fall
+        back to the headless turntable)."""
+        if not has_display():
+            raise RuntimeError(
+                "no interactive matplotlib backend (headless host); "
+                "use pipeline.ui() for a turntable GIF instead"
+            )
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(7, 7))
+        fig.canvas.manager.set_window_title("gsdf_tpu viewer")
+        ax.set_axis_off()
+        im = ax.imshow(self.render_current("full"))
+
+        def redraw(quality):
+            im.set_data(self.render_current(quality))
+            fig.canvas.draw_idle()
+
+        def press(ev):
+            if ev.xdata is not None:
+                self.on_press(ev.x, ev.y)
+
+        def release(ev):
+            self.on_release()
+            redraw("full")  # rest: full quality (reference AA upshift)
+
+        def move(ev):
+            if self.on_move(ev.x, ev.y):
+                redraw("drag")
+
+        def scroll(ev):
+            if self.on_scroll(ev.step):
+                redraw("drag")
+                redraw("full")
+
+        def key(ev):
+            if ev.key == "r":
+                self.reset()
+                redraw("full")
+
+        fig.canvas.mpl_connect("button_press_event", press)
+        fig.canvas.mpl_connect("button_release_event", release)
+        fig.canvas.mpl_connect("motion_notify_event", move)
+        fig.canvas.mpl_connect("scroll_event", scroll)
+        fig.canvas.mpl_connect("key_press_event", key)
+        plt.show()
+
+
+def interactive_view(obj: Shader3D, width=512, height=512, device=None):
+    """Open the interactive orbit/zoom viewer (reference gsdfaux.UI).
+    Falls back to a turntable GIF on display-less hosts."""
+    viewer = InteractiveViewer(obj, width=width, height=height, device=device)
+    try:
+        viewer.show()
+    except RuntimeError as e:
+        from .render import UIConfig, ui
+
+        print(f"[viewer] {e}")
+        ui(obj, UIConfig(width=width, height=height, gif_path="turntable.gif"))
+    return viewer

@@ -1,0 +1,47 @@
+"""Interactive viewer state machine (pipeline/interactive.py): orbit,
+zoom, motion-adaptive quality — testable without a display."""
+import numpy as np
+
+from gsdf_tpu import Builder
+from gsdf_tpu.pipeline import InteractiveViewer
+
+
+def _viewer():
+    bld = Builder()
+    obj = bld.smooth_union(0.1, bld.new_sphere(0.7), bld.new_box(1, 1, 0.4, 0))
+    return InteractiveViewer(obj, width=64, height=64, steps=48, drag_steps=16)
+
+
+def test_orbit_and_zoom_change_view():
+    v = _viewer()
+    img0 = v.render_current("full")
+    assert img0.shape == (64, 64, 3) and img0.dtype == np.uint8
+    v.on_press(10, 10)
+    assert v.on_move(30, 18)  # drag -> view changed
+    v.on_release()
+    img1 = v.render_current("full")
+    assert not np.array_equal(img0, img1)
+    yaw_before = v.yaw
+    assert v.on_scroll(2)
+    assert v.cam_dist < 2.4 and v.yaw == yaw_before
+
+
+def test_drag_quality_is_cheap_but_full_size():
+    v = _viewer()
+    img = v.render_current("drag")
+    # half-res render, upscaled to the window size
+    assert img.shape == (64, 64, 3)
+
+
+def test_move_without_press_is_noop():
+    v = _viewer()
+    assert not v.on_move(5, 5)
+    v.reset()
+    assert (v.yaw, v.pitch, v.cam_dist) == (0.6, 0.5, 2.4)
+
+
+def test_pitch_clamped():
+    v = _viewer()
+    v.on_press(0, 0)
+    v.on_move(0, 10000)
+    assert abs(v.pitch) <= 1.45
