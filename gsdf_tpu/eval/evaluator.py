@@ -219,15 +219,20 @@ class BlockCachedSDF3:
     """Voxel-quantized memo cache wrapping any SDF3
     (reference gleval/gleval.go:110-217).
 
-    On TPU this mainly serves renderer corner-dedup parity; the flat grid
-    path already evaluates each corner exactly once."""
+    Fully vectorized: voxel keys bit-pack into one int64, lookups are a
+    single np.searchsorted over the sorted known-key array, and merges
+    are one sort per batch — render-scale batches (millions of points)
+    cost O(n log n) numpy, never a Python per-point loop."""
+
+    _BIAS = 1 << 20  # 21-bit signed voxel coordinates per axis
 
     def __init__(self, sdf: SDF3, res_x: float, res_y: float, res_z: float):
         if res_x <= 0 or res_y <= 0 or res_z <= 0:
             raise ValueError("invalid resolution for BlockCachedSDF3")
         self.sdf = sdf
         self.mul = (1.0 / np.array([res_x, res_y, res_z], _f32)).astype(_f32)
-        self.m: dict = {}
+        self._keys = np.empty(0, np.int64)  # sorted packed voxel keys
+        self._vals = np.empty(0, _f32)
         self._hits = 0
         self._evals = 0
 
@@ -240,28 +245,38 @@ class BlockCachedSDF3:
     def bounds(self):
         return self.sdf.bounds()
 
+    def _pack(self, pos: np.ndarray) -> np.ndarray:
+        bb = self.sdf.bounds()
+        k = ((pos - bb.min) * self.mul).astype(np.int64) + self._BIAS
+        return k[:, 0] | (k[:, 1] << 21) | (k[:, 2] << 42)
+
     def evaluate(self, pos: np.ndarray) -> np.ndarray:
         pos = np.ascontiguousarray(pos, dtype=_f32)
         if len(pos) == 0:
             raise ValueError("empty buffers")
-        bb = self.sdf.bounds()
-        tp = (pos - bb.min) * self.mul
-        keys = tp.astype(np.int64)
+        packed = self._pack(pos)
         dist = np.empty(len(pos), _f32)
-        miss_idx = []
-        for i, k in enumerate(map(tuple, keys)):
-            d = self.m.get(k)
-            if d is not None:
-                dist[i] = d
-            else:
-                miss_idx.append(i)
-        if miss_idx:
-            miss_idx = np.array(miss_idx)
-            seek = pos[miss_idx]
-            d_new = self.sdf.evaluate(seek)
-            for k, d in zip(map(tuple, keys[miss_idx]), d_new):
-                self.m[k] = float(d)
-            dist[miss_idx] = d_new
+        if len(self._keys):
+            at = np.searchsorted(self._keys, packed)
+            at_c = np.minimum(at, len(self._keys) - 1)
+            hit = self._keys[at_c] == packed
+            dist[hit] = self._vals[at_c[hit]]
+        else:
+            hit = np.zeros(len(pos), bool)
+        miss = ~hit
+        n_miss = int(miss.sum())
+        if n_miss:
+            d_new = np.asarray(self.sdf.evaluate(pos[miss]), _f32)
+            dist[miss] = d_new
+            # store one value per voxel, last writer wins (the reference
+            # loop stores in order, gleval.go:188-199)
+            pm = packed[miss]
+            rev_first = np.unique(pm[::-1], return_index=True)[1]
+            uk, uv = pm[::-1][rev_first], d_new[::-1][rev_first]
+            keys = np.concatenate([self._keys, uk])
+            vals = np.concatenate([self._vals, uv])
+            order = np.argsort(keys, kind="stable")
+            self._keys, self._vals = keys[order], vals[order]
         self._evals += len(pos)
-        self._hits += len(pos) - len(miss_idx)
+        self._hits += len(pos) - n_miss
         return dist
