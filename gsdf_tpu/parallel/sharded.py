@@ -127,6 +127,154 @@ def sharded_render_step(tree: Shader3D, mesh: Mesh, shape, max_tris_per_shard: i
     return jax.jit(step)
 
 
+def sharded_compact_step(tree: Shader3D, mesh: Mesh, shape, a_size: int, v_size: int):
+    """Multi-chip COMPACT-FIELD render step (the production path,
+    ops/compact_field.py, sharded): each shard evaluates its z-slab
+    (+1 halo plane), classifies, compacts its active cubes and crossing
+    owner-edge interpolation parameters, and emits one packed buffer
+    [n_active, n_verts, idw (a_size), t (v_size)].
+
+    Cube ids are LOCAL to the slab; global id = local + k0*nx*ny, and
+    slab order equals global z-order, so the host-side concatenation of
+    shard payloads is EXACTLY the single-device compact payload — the
+    native decoder (native.mc_decode) consumes it unchanged, owner
+    references across slab boundaries resolving in the merged active
+    set. No collectives: the only cross-shard data is one redundantly
+    evaluated halo plane.
+    """
+    from ..ops import mc_emit
+    from ..ops.marching_cubes import _MC_EPS
+
+    nk, nj, ni = (int(x) for x in shape)
+    n_dev = mesh.devices.size
+    if nk % n_dev != 0:
+        raise ValueError(f"slab axis {nk} not divisible by {n_dev} devices")
+    nk_local = nk // n_dev
+    nx, ny = ni - 1, nj - 1
+    A = int(a_size)
+    V = int(v_size)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(AXIS, None),
+        check_vma=False,  # see sharded_grid_eval
+    )
+    def step(origin, res):
+        me = jax.lax.axis_index(AXIS)
+        k0 = me * nk_local
+        iz = jax.lax.broadcasted_iota(jnp.float32, (nk_local + 1, nj, ni), 0) + k0
+        iy = jax.lax.broadcasted_iota(jnp.float32, (nk_local + 1, nj, ni), 1)
+        ix = jax.lax.broadcasted_iota(jnp.float32, (nk_local + 1, nj, ni), 2)
+        p = jnp.stack(
+            [origin[0] + ix * res, origin[1] + iy * res, origin[2] + iz * res],
+            axis=-1,
+        )
+        grid = tree.distance(p)
+
+        index, active = mc_emit.classify(grid, res)
+        n_active = jnp.sum(active.astype(jnp.int32))
+        cube_id = mc_emit.compact_indices(active.reshape(-1), A)
+        valid = cube_id >= 0
+        safe = jnp.maximum(cube_id, 0)
+        idx8 = index.reshape(-1)[safe]
+
+        ci = safe % nx
+        cj = (safe // nx) % ny
+        ck = safe // (nx * ny)
+        base_lin = ck * (nj * ni) + cj * ni + ci
+        gflat = grid.reshape(-1)
+        strides = jnp.asarray(np.array([0, 1, ni, nj * ni], np.int32))
+        v4 = gflat[base_lin[:, None] + strides[None, :]]
+        v0, vfar = v4[:, 0:1], v4[:, 1:]
+
+        b0 = idx8 & 1
+        cx = b0 != ((idx8 >> 1) & 1)
+        cy = b0 != ((idx8 >> 3) & 1)
+        cz = b0 != ((idx8 >> 4) & 1)
+        crossing = jnp.stack([cx, cy, cz], axis=-1) & valid[:, None]
+
+        ca = jnp.abs(v0) < _MC_EPS
+        cb = jnp.abs(vfar) < _MC_EPS
+        t = jnp.where(ca & cb, 0.5, (0.0 - v0) / (vfar - v0))
+        t = jnp.where(cb & ~ca, 1.0, t)
+        t = jnp.where(ca & ~cb, 0.0, t)
+
+        vflags = crossing.reshape(-1)
+        vpos = jnp.cumsum(vflags.astype(jnp.int32)) - 1
+        n_verts = vpos[-1] + 1
+        vdest = jnp.where(vflags, vpos, V)
+        tvals = jnp.zeros((V + 1,), jnp.float32)
+        tvals = tvals.at[vdest].set(t.reshape(-1), mode="drop")[:V]
+
+        idw = jnp.where(valid, safe | (idx8 << 24), 0)
+        counts = jnp.stack([n_active, n_verts])
+        counts_f = jax.lax.bitcast_convert_type(counts, jnp.float32)
+        idw_f = jax.lax.bitcast_convert_type(idw, jnp.float32)
+        return jnp.concatenate([counts_f, idw_f, tvals])[None]
+
+    return jax.jit(step)
+
+
+def render_sharded_compact(tree: Shader3D, mesh: Mesh, res: float, size_hint=None):
+    """Multi-chip production render: returns (verts (V,3) f32,
+    tri_idx (T,3) i32) — identical arrays to the single-device
+    FlatRenderer.render_compact (same enumeration order)."""
+    import math as _math
+
+    from ..native import mc_decode
+    from ..ops.marching_cubes import _bucket
+
+    bb = tree.bounds().scale_centered((1.01, 1.01, 1.01))
+    sz = bb.size()
+    res32 = _f32(res)
+    nx = int(_math.ceil(_f32(sz[0]) / res32))
+    ny = int(_math.ceil(_f32(sz[1]) / res32))
+    nz = int(_math.ceil(_f32(sz[2]) / res32))
+    n_dev = mesh.devices.size
+    nk = nz + 1
+    if nk % n_dev:
+        nk += n_dev - nk % n_dev
+    shape = (nk, ny + 1, nx + 1)
+    nz_padded = nk - 1  # decode space includes padded (inactive) slabs
+    origin = _replicated(mesh, bb.min)
+    res_dev = _replicated(mesh, res32)
+    if size_hint:
+        a_size, v_size = size_hint
+    else:
+        ncubes_local = nx * ny * (nk // n_dev)
+        est = int(12 * ncubes_local ** (2 / 3)) + 4096
+        a_size = _bucket(min(est, ncubes_local))
+        v_size = _bucket(int(a_size * 1.5))
+    while True:
+        step = sharded_compact_step(tree, mesh, shape, a_size, v_size)
+        packed = np.ascontiguousarray(np.asarray(step(origin, res_dev)))
+        counts = np.ascontiguousarray(packed[:, :2]).view(np.uint32)
+        worst_a = int(counts[:, 0].max(initial=0))
+        worst_v = int(counts[:, 1].max(initial=0))
+        if worst_a <= a_size and worst_v <= v_size:
+            break
+        if worst_a > a_size:
+            a_size = _bucket(worst_a, granule=16384)
+        if worst_v > v_size:
+            v_size = _bucket(worst_v, granule=16384)
+    nk_local = nk // n_dev
+    ids_parts, t_parts = [], []
+    for d in range(n_dev):
+        na, nv = int(counts[d, 0]), int(counts[d, 1])
+        idw = np.ascontiguousarray(packed[d, 2 : 2 + na]).view(np.uint32)
+        # local slab id -> global id (slab order IS global z-order)
+        idw = (idw & np.uint32(0xFF000000)) | (
+            (idw & np.uint32(0x00FFFFFF)) + np.uint32(d * nk_local * nx * ny)
+        )
+        ids_parts.append(idw)
+        t_parts.append(packed[d, 2 + a_size : 2 + a_size + nv])
+    idw = np.concatenate(ids_parts)
+    tvals = np.concatenate(t_parts).astype(_f32)
+    return mc_decode(idw, tvals, nx, ny, nz_padded, bb.min, res32)
+
+
 def render_sharded(tree: Shader3D, mesh: Mesh, res: float, max_tris_per_shard=1 << 18):
     """Full multi-chip render: returns (T,3,3) float32 triangles on host.
 

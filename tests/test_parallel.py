@@ -104,3 +104,33 @@ def test_grow_and_retry_overflow():
     tris_big = render_sharded(part, mesh, res, max_tris_per_shard=1 << 18)
     tris_small = render_sharded(part, mesh, res, max_tris_per_shard=256)
     _assert_tris_equal(tris_small, tris_big)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_render_sharded_compact_bitexact(n_dev):
+    """The sharded compact-field path must produce the SAME indexed mesh
+    as the single-device production path: identical tri_idx arrays and
+    ulp-equal vertices (payload concatenation == single-device payload)."""
+    devices = jax.devices("cpu")[:n_dev]
+    mesh = make_mesh(devices)
+    part = _part()
+    res = 0.07
+    from gsdf_tpu.parallel import render_sharded_compact
+
+    sv, st = render_sharded_compact(part, mesh, res)
+    fr = FlatRenderer(part, res, device=devices[0])
+    cv, ct = fr.render_compact()
+    np.testing.assert_array_equal(st, ct)
+    np.testing.assert_allclose(sv, cv, atol=1e-6)
+
+
+def test_render_sharded_compact_overflow_retry():
+    from gsdf_tpu.parallel import render_sharded_compact
+
+    devices = jax.devices("cpu")[:4]
+    mesh = make_mesh(devices)
+    part = _part()
+    sv, st = render_sharded_compact(part, mesh, 0.07, size_hint=(1024, 1024))
+    fr = FlatRenderer(part, 0.07, device=devices[0])
+    cv, ct = fr.render_compact()
+    np.testing.assert_array_equal(st, ct)
