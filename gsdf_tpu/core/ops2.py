@@ -285,7 +285,7 @@ class CircularArray2D(Shader2D):
         ncirc = _f32(self.circle_div)
         ninsm1 = _f32(self.n_inst - 1)
         x, y = p[..., 0], p[..., 1]
-        pangle = jnp.arctan2(y, x)
+        pangle = mx.atan2(y, x)
         pid = jnp.floor(pangle / angle)
         pid = jnp.where(pid < 0, pid + ncirc, pid)
         i0 = jnp.where(pid >= ninsm1, ninsm1, pid)

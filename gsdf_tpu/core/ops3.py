@@ -73,7 +73,7 @@ class OpUnion(Shader3D):
                     return jnp.minimum(carry, _child.distance(p - off)), None
 
                 init = jnp.full(p.shape[:-1], mx.LARGENUM, dtype=jnp.float32)
-                dg, _ = jax.lax.scan(body, init, offsets)
+                dg, _ = mx.scan_fold(body, init, offsets)
                 d = dg if d is None else jnp.minimum(d, dg)
             else:
                 ordered.extend(nodes)
@@ -410,7 +410,7 @@ class CircularArray(Shader3D):
         ncirc = _f32(self.circle_div)
         ninsm1 = _f32(self.n_inst - 1)
         x, y, z = p[..., 0], p[..., 1], p[..., 2]
-        pangle = jnp.arctan2(y, x)
+        pangle = mx.atan2(y, x)
         pid = jnp.floor(pangle / angle)
         pid = jnp.where(pid < 0, pid + ncirc, pid)
         i0 = jnp.where(pid >= ninsm1, ninsm1, pid)

@@ -264,7 +264,7 @@ class Ellipse2D(Shader2D):
         g = m + m * n2
 
         # branch d < 0 (3 real roots)
-        h_acos = jnp.arccos(jnp.clip(q / c3, -1.0, 1.0)) / _f32(3)
+        h_acos = mx.acos(jnp.clip(q / c3, -1.0, 1.0)) / _f32(3)
         sh = jnp.sin(h_acos)
         ch = jnp.cos(h_acos)
         t_ = _f32(mx.SQRT3) * sh
@@ -362,7 +362,7 @@ class Polygon2D(Shader2D):
             jnp.full(p.shape[:-1], np.float32(np.inf), dtype=jnp.float32),
             jnp.zeros(p.shape[:-1], dtype=jnp.int32),
         )
-        (d, nflips), _ = jax.lax.scan(body, init, edges)
+        (d, nflips), _ = mx.scan_fold(body, init, edges)
         s = jnp.where(nflips % 2 == 1, -1.0, 1.0).astype(jnp.float32)
         return s * jnp.sqrt(d)
 

@@ -19,6 +19,7 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
+from ...core import mathx as mx
 from ...core.node import Shader2D, Shader3D
 from ...geometry.boxes import Box
 
@@ -82,7 +83,7 @@ class ScrewNode(Shader3D):
         tan_taper = np.tan(self.taper, dtype=_f32)
         px, py, pz = p[..., 0], p[..., 1], p[..., 2]
         y = jnp.sqrt(px * px + py * py) + pz * tan_taper
-        theta = jnp.arctan2(py, px)
+        theta = mx.atan2(py, px)
         z = pz + lead * theta / _f32(2 * math.pi)
         # sawtooth (threads.go:198-202)
         zz = z + pitch / _f32(2)

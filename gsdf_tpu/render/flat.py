@@ -35,13 +35,20 @@ class FlatRenderer:
         cube_resolution: float,
         device=None,
         max_slab_points: int = 1 << 27,
+        eval_backend: str = "xla",
     ):
         if cube_resolution <= 0:
             raise ValueError("invalid renderer cube resolution")
+        if eval_backend not in ("xla", "pallas"):
+            raise ValueError("eval_backend must be 'xla' or 'pallas'")
         self.s = s
         self.res = _f32(cube_resolution)
         self.device = device if device is not None else jax.devices()[0]
         self.max_slab_points = int(max_slab_points)
+        #: grid-evaluation backend for the STAGED path (render(fused=False)):
+        #: "xla" (default, one fused jit) or "pallas" (explicit VMEM-tiled
+        #: kernel, eval.pallas_grid — measured numbers in docs/PERFORMANCE.md)
+        self.eval_backend = eval_backend
 
         bb = s.bounds().scale_centered((1.01, 1.01, 1.01))
         sz = bb.size()
@@ -67,6 +74,12 @@ class FlatRenderer:
         nk, nj, ni = self.nz + 1, self.ny + 1, self.nx + 1
         plane = nj * ni
         self._evaluations += nk * plane
+        if self.eval_backend == "pallas":
+            from ..eval.pallas_grid import evaluate_grid_pallas
+
+            return evaluate_grid_pallas(
+                self.s, self.origin, self.res, (nk, nj, ni), self.device
+            )
         if nk * plane <= self.max_slab_points:
             return ev.evaluate_grid(
                 self.s, self.origin, self.res, (nk, nj, ni), self.device
@@ -92,7 +105,11 @@ class FlatRenderer:
         (separate grid eval + MC phases) — same output, used for
         cross-checking and for grids too large for one executable."""
         nk, nj, ni = self.nz + 1, self.ny + 1, self.nx + 1
-        if fused and nk * nj * ni <= self.max_slab_points:
+        if (
+            fused
+            and self.eval_backend == "xla"
+            and nk * nj * ni <= self.max_slab_points
+        ):
             return self._render_fused_slabbed()
         grid = self._eval_grid()
         tris, _ = marching_cubes_grid(grid, self.origin, self.res, self.device)
