@@ -12,7 +12,6 @@ import numpy as np
 
 from ..core.node import Shader3D
 from ..render.flat import FlatRenderer
-from ..render.stl import write_binary_stl
 
 _f32 = np.float32
 
@@ -77,25 +76,28 @@ def render_shader3d(obj: Shader3D, cfg: RenderConfig) -> dict:
     renderer = FlatRenderer(obj, cfg.resolution, device=device)
     log(f"[{_fmt_dur(lap())}] renderer init (grid {renderer.nx}x{renderer.ny}x{renderer.nz})")
 
-    # welded indexed path: minimal device->host payload; triangle count
-    # matches the soup path exactly, coordinates to the last ulp
-    verts, tri_idx = renderer.render_indexed()
-    tris = verts[tri_idx]
+    # compact-field production path: minimal device->host payload, native
+    # host-side table walk; triangle count matches the soup path exactly,
+    # coordinates to the last ulp (falls back to welded for huge grids)
+    verts, tri_idx = renderer.render_compact()
     dt_render = lap()
     stats["render_seconds"] = dt_render
-    stats["triangles"] = len(tris)
+    stats["triangles"] = len(tri_idx)
     stats["evaluations"] = renderer.evaluations()
     log(
         f"[{_fmt_dur(dt_render)}] evaluated SDF {renderer.evaluations()} times "
-        f"and generated {len(tris)} triangles at resolution {cfg.resolution:.6g}"
+        f"and generated {len(tri_idx)} triangles at resolution {cfg.resolution:.6g}"
     )
 
     if cfg.stl_output is not None:
-        n = write_binary_stl(cfg.stl_output, tris)
+        from ..render.stl import write_binary_stl_indexed
+
+        n = write_binary_stl_indexed(cfg.stl_output, verts, tri_idx)
         dt_stl = lap()
         stats["stl_seconds"] = dt_stl
         stats["stl_bytes"] = n
         log(f"[{_fmt_dur(dt_stl)}] wrote {n} bytes STL")
+    tris = verts[tri_idx]
 
     if cfg.visual_output is not None:
         from .visual import write_shadertoy_visual
