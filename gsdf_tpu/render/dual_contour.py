@@ -23,12 +23,122 @@ from __future__ import annotations
 import math
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.node import Shader3D
 from ..eval import evaluator as ev
 
 _f32 = np.float32
+
+_dc_cache: dict = {}
+
+
+def _dc_edges_fn(tree, shape, a_size, norm_step, device):
+    """Compiled (origin, res) -> packed f32 buffer
+    [n_edges, idw (a_size), t (a_size), normals (3*a_size)]: the COMPACTED
+    active-edge field WITH central-difference normals at the crossings.
+
+    idw = axis*nvox + voxel_linear_id, bit 31 = winding-flip
+    ((edge_end - origin) < 0, dual_contour.go:273-275); t = -d0/(dend-d0);
+    normals follow gleval.NormalsCentralDiff (6 evals per crossing, step/2
+    offsets) computed ON the compacted set in the same dispatch. One
+    dispatch, one surface-sized fetch — neither the dense distance grid
+    nor the crossing-point batch ever crosses the link."""
+    key = (tree.tree_hash(), tuple(shape), a_size, _f32(norm_step), device)
+    fn = _dc_cache.get(key)
+    if fn is not None:
+        return fn
+    nk, nj, ni = (int(x) for x in shape)
+    nz, ny, nx = nk - 1, nj - 1, ni - 1
+    nvox = nz * ny * nx
+    A = int(a_size)
+    half = _f32(norm_step) * _f32(0.5)
+
+    def impl(origin, res):
+        iz = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 0)
+        iy = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 1)
+        ix = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 2)
+        p = jnp.stack(
+            [origin[0] + ix * res, origin[1] + iy * res, origin[2] + iz * res],
+            axis=-1,
+        )
+        grid = tree.distance(p)
+        d0 = grid[:-1, :-1, :-1]
+        dxx = grid[:-1, :-1, 1:]
+        dyy = grid[:-1, 1:, :-1]
+        dzz = grid[1:, :-1, :-1]
+        s0 = jnp.signbit(d0)
+        flags = jnp.stack(
+            [
+                s0 != jnp.signbit(dxx),
+                s0 != jnp.signbit(dyy),
+                s0 != jnp.signbit(dzz),
+            ]
+        ).reshape(-1)
+        safe = lambda de: jnp.where(de == d0, 1.0, de - d0)  # noqa: E731
+        t3 = jnp.stack(
+            [-d0 / safe(dxx), -d0 / safe(dyy), -d0 / safe(dzz)]
+        ).reshape(-1)
+        flip = jnp.stack([(dxx - d0) < 0, (dyy - d0) < 0, (dzz - d0) < 0]).reshape(-1)
+
+        n_edges = jnp.sum(flags.astype(jnp.int32))
+        pos = jnp.cumsum(flags.astype(jnp.int32)) - 1
+        dest = jnp.where(flags, pos, A)
+        ids = jnp.arange(3 * nvox, dtype=jnp.int32) | (
+            flip.astype(jnp.int32) << 31
+        )
+        idw = jnp.zeros((A + 1,), jnp.int32).at[dest].set(ids, mode="drop")[:A]
+        tv = jnp.zeros((A + 1,), jnp.float32).at[dest].set(t3, mode="drop")[:A]
+
+        # crossing points of the compacted edges (same arithmetic the host
+        # decoder uses: origin + index*res, axis += t*res)
+        eid = idw & 0x7FFFFFFF
+        eax = eid // nvox
+        rem = eid % nvox
+        ek = rem // (ny * nx)
+        ej = (rem // nx) % ny
+        ei = rem % nx
+        pt = jnp.stack(
+            [
+                origin[0] + ei.astype(jnp.float32) * res,
+                origin[1] + ej.astype(jnp.float32) * res,
+                origin[2] + ek.astype(jnp.float32) * res,
+            ],
+            axis=-1,
+        )
+        bump = tv * res
+        pt = pt + jnp.stack(
+            [
+                jnp.where(eax == 0, bump, 0.0),
+                jnp.where(eax == 1, bump, 0.0),
+                jnp.where(eax == 2, bump, 0.0),
+            ],
+            axis=-1,
+        )
+        # central differences (gleval.NormalsCentralDiff port): 6 batched
+        # evals over the compacted set — negligible next to the dense grid
+        eye = jnp.eye(3, dtype=jnp.float32) * half
+        nrm = jnp.stack(
+            [
+                tree.distance(pt + eye[d]) - tree.distance(pt - eye[d])
+                for d in range(3)
+            ],
+            axis=-1,
+        )  # (A,3)
+
+        counts_f = jax.lax.bitcast_convert_type(n_edges[None], jnp.float32)
+        idw_f = jax.lax.bitcast_convert_type(idw, jnp.float32)
+        return jnp.concatenate([counts_f, idw_f, tv, nrm.reshape(-1)])
+
+    jitted = jax.jit(impl)
+
+    def fn(origin, res, _jitted=jitted, _dev=device):
+        with jax.default_device(_dev):
+            return _jitted(jax.device_put(np.asarray(origin, _f32), _dev), _f32(res))
+
+    _dc_cache[key] = fn
+    return fn
 
 
 class DualContourLeastSquares:
@@ -85,222 +195,165 @@ class DualContourRenderer:
         res = float(self.res)
         # corner grid (planes): voxel (i,j,k) origin distance = grid[k,j,i],
         # its +x/+y/+z edge-end distances are the adjacent entries.
+        # The dense grid STAYS ON DEVICE: one compact-field dispatch ships
+        # only the active edges (id+flip word and interpolation t each) —
+        # the same minimal-transfer design as ops/compact_field.py.
+        from ..ops.marching_cubes import _bucket
+
         nk, nj, ni = self.nz + 1, self.ny + 1, self.nx + 1
-        grid_dev = ev.evaluate_grid(self.s, self.origin, res, (nk, nj, ni), self.device)
-        grid = np.asarray(grid_dev)
-        self._evaluations += grid.size
-
-        d0 = grid[: self.nz, : self.ny, : self.nx]
-        dx = grid[: self.nz, : self.ny, 1:]
-        dy = grid[: self.nz, 1:, : self.nx]
-        dz = grid[1:, : self.ny, : self.nx]
-
-        s0 = np.signbit(d0)
-        ax = s0 != np.signbit(dx)
-        ay = s0 != np.signbit(dy)
-        az = s0 != np.signbit(dz)
-
-        with np.errstate(divide="ignore", invalid="ignore"):
-            tx = -d0 / (dx - d0)
-            ty = -d0 / (dy - d0)
-            tz = -d0 / (dz - d0)
-
-        # voxel origin world positions
-        kk, jj, ii = np.meshgrid(
-            np.arange(self.nz, dtype=_f32),
-            np.arange(self.ny, dtype=_f32),
-            np.arange(self.nx, dtype=_f32),
-            indexing="ij",
+        nvox = self.nz * self.ny * self.nx
+        hint_key = ("hint", self.s.tree_hash(), (nk, nj, ni))
+        a_size = _dc_cache.get(
+            hint_key, _bucket(int(12 * max(nvox, 1) ** (2 / 3)) + 4096)
         )
-        vox_orig = np.stack(
+        while True:
+            fn = _dc_edges_fn(
+                self.s, (nk, nj, ni), a_size, self.contourer.norm_step, self.device
+            )
+            packed = np.asarray(fn(self.origin, res))
+            n_edges = int(packed[:1].view(np.int32)[0])
+            if n_edges <= a_size:
+                break
+            a_size = _bucket(n_edges, granule=16384)
+        _dc_cache[hint_key] = _bucket(max(n_edges, 1), granule=16384)
+        self._evaluations += nk * nj * ni
+        idw = packed[1 : 1 + n_edges].view(np.int32)
+        tv = packed[1 + a_size : 1 + a_size + n_edges]
+        flip_all = idw < 0  # bit 31: (edge_end - origin) < 0
+        eid = (idw & 0x7FFFFFFF).astype(np.int64)
+        axis_all = eid // nvox
+        rem = eid % nvox
+        ke = (rem // (self.ny * self.nx)).astype(np.int64)
+        je = ((rem // self.nx) % self.ny).astype(np.int64)
+        ie = (rem % self.nx).astype(np.int64)
+
+        if n_edges == 0:
+            return np.empty((0, 3, 3), _f32)
+        nrm_flat = packed[1 + 2 * a_size : 1 + 2 * a_size + 3 * n_edges]
+        e_nrm = nrm_flat.reshape(-1, 3)
+        self._evaluations += 6 * n_edges  # in-kernel central differences
+
+        # crossing points (same arithmetic as the kernel's)
+        e_pts = np.stack(
             [
-                self.origin[0] + ii * self.res,
-                self.origin[1] + jj * self.res,
-                self.origin[2] + kk * self.res,
+                self.origin[0] + ie.astype(_f32) * self.res,
+                self.origin[1] + je.astype(_f32) * self.res,
+                self.origin[2] + ke.astype(_f32) * self.res,
             ],
             axis=-1,
         )
+        bump = tv.astype(_f32) * self.res
+        for a in range(3):
+            m = axis_all == a
+            e_pts[m, a] += bump[m]
 
-        # crossing points per active edge (world coords)
-        def crossings(active, t, axis):
-            idx = np.argwhere(active)  # (E,3) [k,j,i]
-            pts = vox_orig[active]
-            tt = t[active].astype(_f32) * self.res
-            pts = pts.copy()
-            pts[:, axis] += tt
-            return idx, pts
-
-        ex_idx, ex_pts = crossings(ax, tx, 0)
-        ey_idx, ey_pts = crossings(ay, ty, 1)
-        ez_idx, ez_pts = crossings(az, tz, 2)
-        all_pts = np.concatenate([ex_pts, ey_pts, ez_pts], axis=0).astype(_f32)
-
-        # normals via central differences (reference gleval.NormalsCentralDiff)
-        sdf = ev.SDF3(self.s, self.device)
-        if len(all_pts):
-            normals = ev.normals_central_diff(sdf, all_pts, self.contourer.norm_step)
-            self._evaluations += 6 * len(all_pts)
-        else:
-            normals = np.zeros((0, 3), _f32)
-        nE = [len(ex_idx), len(ey_idx), len(ez_idx)]
-        nml = {
-            0: normals[: nE[0]],
-            1: normals[nE[0] : nE[0] + nE[1]],
-            2: normals[nE[0] + nE[1] :],
+        # --- sparse edge -> voxel contributions ----------------------------
+        # Each active edge contributes its (normal, crossing) row to the 4
+        # voxels sharing it (the quad corners) and twice to its own voxel
+        # (the reference duplicates own-edge rows,
+        # dual_contour_vertexplacement.go:57-63). Everything below operates
+        # on the ACTIVE sets only — no dense voxel-grid arrays.
+        nz_, ny_, nx_ = self.nz, self.ny, self.nx
+        OFFS = {  # (di, dj, dk) quad-corner voxel offsets per edge axis
+            0: [(0, -1, -1), (0, 0, -1), (0, 0, 0), (0, -1, 0)],
+            1: [(-1, 0, -1), (-1, 0, 0), (0, 0, 0), (0, 0, -1)],
+            2: [(-1, -1, 0), (0, -1, 0), (0, 0, 0), (-1, 0, 0)],
         }
-        pts_by_axis = {0: ex_pts, 1: ey_pts, 2: ez_pts}
-        idx_by_axis = {0: ex_idx, 1: ey_idx, 2: ez_idx}
+        con_edge = []
+        con_vox = []
+        edge_corners = {}  # axis -> (edge subset ids, (E,4) voxel lin, ok)
+        for a in range(3):
+            sel = np.nonzero(axis_all == a)[0]
+            k, j, i = ke[sel], je[sel], ie[sel]
+            corners = []
+            all_ok = np.ones(len(sel), bool)
+            for (di, dj, dk) in OFFS[a]:
+                kk2, jj2, ii2 = k + dk, j + dj, i + di
+                ok = (
+                    (kk2 >= 0) & (kk2 < nz_)
+                    & (jj2 >= 0) & (jj2 < ny_)
+                    & (ii2 >= 0) & (ii2 < nx_)
+                )
+                lin = (kk2 * ny_ + jj2) * nx_ + ii2
+                corners.append(np.where(ok, lin, -1))
+                all_ok &= ok
+                con_edge.append(sel[ok])
+                con_vox.append(lin[ok])
+            # own-voxel duplicate row (offset (0,0,0) is always in range)
+            own = (k * ny_ + j) * nx_ + i
+            con_edge.append(sel)
+            con_vox.append(own)
+            edge_corners[a] = (sel, np.stack(corners, axis=1), all_ok)
+        con_edge = np.concatenate(con_edge)
+        con_vox = np.concatenate(con_vox)
 
-        # edge slot maps: edge grid -> compact edge index (-1 = inactive)
-        def slot_map(active, count):
-            m = np.full(active.shape, -1, np.int64)
-            m[active] = np.arange(count)
-            return m
+        uvox, inv = np.unique(con_vox, return_inverse=True)
+        V = len(uvox)
+        counts = np.bincount(inv, minlength=V)
+        order = np.argsort(inv, kind="stable")
+        s_inv = inv[order]
+        s_edge = con_edge[order]
+        seg_start = np.zeros(V, np.int64)
+        np.cumsum(counts[:-1], out=seg_start[1:])
+        row_pos = np.arange(len(order)) - seg_start[s_inv]
 
-        mx = slot_map(ax, nE[0])
-        my = slot_map(ay, nE[1])
-        mz = slot_map(az, nE[2])
+        # voxel origins from linear ids
+        vk = uvox // (ny_ * nx_)
+        vj = (uvox // nx_) % ny_
+        vi = uvox % nx_
+        vo = np.stack(
+            [
+                self.origin[0] + vi.astype(_f32) * self.res,
+                self.origin[1] + vj.astype(_f32) * self.res,
+                self.origin[2] + vk.astype(_f32) * self.res,
+            ],
+            axis=-1,
+        ).astype(np.float64)  # (V,3)
+        inv_res = 1.0 / res
 
-        # active voxels: those receiving >= 1 contribution, i.e. any of
-        # their 12 edges active (reference: len(cube.Neighbors) > 0)
-        def pad_take(m, k, j, i):
-            """m[k,j,i] with out-of-range -> -1."""
-            valid = (
-                (k >= 0) & (k < m.shape[0])
-                & (j >= 0) & (j < m.shape[1])
-                & (i >= 0) & (i < m.shape[2])
-            )
-            out = np.full(k.shape, -1, np.int64)
-            kk_, jj_, ii_ = k[valid], j[valid], i[valid]
-            out[valid] = m[kk_, jj_, ii_]
-            return out
-
-        K, J, I = np.meshgrid(
-            np.arange(self.nz), np.arange(self.ny), np.arange(self.nx), indexing="ij"
-        )
-        # the 12 edges of voxel (i,j,k): per axis at the 4 parallel edges.
-        # NB: offsets use fresh names — dx/dy/dz hold the distance grids.
-        edge_slots = []  # list of (axis, slot_grid) for the 12 edges
-        for oy in (0, 1):
-            for oz in (0, 1):
-                edge_slots.append((0, pad_take(mx, K + oz, J + oy, I)))
-        for ox in (0, 1):
-            for oz in (0, 1):
-                edge_slots.append((1, pad_take(my, K + oz, J, I + ox)))
-        for ox in (0, 1):
-            for oy in (0, 1):
-                edge_slots.append((2, pad_take(mz, K, J + oy, I + ox)))
-
-        any_edge = np.zeros((self.nz, self.ny, self.nx), bool)
-        for _, sl in edge_slots:
-            any_edge |= sl >= 0
-        vidx = np.argwhere(any_edge)  # (V,3) [k,j,i] active voxels
-        V = len(vidx)
-        if V == 0:
-            return np.empty((0, 3, 3), _f32)
-
-        vox_map = np.full((self.nz, self.ny, self.nx), -1, np.int64)
-        vox_map[any_edge] = np.arange(V)
-
-        # --- assemble QEF rows: 3 own edges (duplicated, as the reference
-        # does) + 12 voxel edges + 3 regularization rows = 18 rows ---------
+        # --- assemble QEF rows: up to 15 contribution rows + 3 reg = 18 ----
         R = 18
         A = np.zeros((V, R, 3), np.float64)
         B = np.zeros((V, R), np.float64)
-        W = np.zeros((V, R), bool)  # row active mask
+        q = (e_pts[s_edge].astype(np.float64) - vo[s_inv]) * inv_res
+        n = e_nrm[s_edge].astype(np.float64)
+        A[s_inv, row_pos] = n
+        B[s_inv, row_pos] = np.einsum("ij,ij->i", n, q)
 
-        vo = vox_orig[any_edge].astype(np.float64)  # (V,3) voxel origins
-        inv_res = 1.0 / res
-
-        def fill_rows(row0, axis, slots_grid):
-            sl = slots_grid[any_edge]  # (V,)
-            has = sl >= 0
-            slv = sl[has]
-            q = (pts_by_axis[axis][slv].astype(np.float64) - vo[has]) * inv_res
-            n = nml[axis][slv].astype(np.float64)
-            A[has, row0, :] = n
-            B[has, row0] = np.einsum("ij,ij->i", n, q)
-            W[has, row0] = True
-            return has, slv, q
-
-        # own edges: the 3 edges at the voxel origin (slots 2, 5... own
-        # x-edge is edge_slots[0 + dy=0,dz=0]? own = (dy=0,dz=0) entries)
-        own_slots = {0: edge_slots[0][1], 1: edge_slots[4][1], 2: edge_slots[8][1]}
-        for r, axis in enumerate((0, 1, 2)):
-            fill_rows(r, axis, own_slots[axis])
-        for r, (axis, sl) in enumerate(edge_slots):
-            fill_rows(3 + r, axis, sl)
-
-        # mean bias over the active (non-reg) rows; count matches the
-        # reference's biasVerts length (own + neighbor contributions)
-        counts = W.sum(axis=1)
-        # bias vert mean in normalized coords: recompute from row data. Rows
-        # store b = n.q, not q, so accumulate q separately.
+        # mean bias over the contribution rows (reference biasVerts mean)
         Qsum = np.zeros((V, 3), np.float64)
-        for r, axis in enumerate((0, 1, 2)):
-            sl = own_slots[axis][any_edge]
-            has = sl >= 0
-            slv = sl[has]
-            q = (pts_by_axis[axis][slv].astype(np.float64) - vo[has]) * inv_res
-            Qsum[has] += q
-        for axis, slg in edge_slots:
-            sl = slg[any_edge]
-            has = sl >= 0
-            slv = sl[has]
-            q = (pts_by_axis[axis][slv].astype(np.float64) - vo[has]) * inv_res
-            Qsum[has] += q
+        np.add.at(Qsum, s_inv, q)
         bias = Qsum / np.maximum(counts, 1)[:, None]
 
         sq = self.contourer.sqrt_lambda
         for d in range(3):
-            A[:, 15 + d, d] = sq
+            A[np.arange(V), 15 + d, d] = sq
             B[:, 15 + d] = sq * bias[:, d]
-            W[:, 15 + d] = True
 
-        # masked least squares via float64 normal equations + regularization
-        Am = A * W[:, :, None]
-        Bm = B * W
-        AtA = np.einsum("vri,vrj->vij", Am, Am)
-        Atb = np.einsum("vri,vr->vi", Am, Bm)
-        # the sqrt(1e-5) reg rows make AtA nonsingular; solve batched
+        # float64 normal equations; the sqrt(1e-5) reg rows keep AtA
+        # nonsingular (unused rows are zero and drop out of the products)
+        AtA = np.einsum("vri,vrj->vij", A, A)
+        Atb = np.einsum("vri,vr->vi", A, B)
         x = np.linalg.solve(AtA, Atb[..., None])[..., 0]
         x = np.clip(x, -0.1, 1.1)
         final_verts = (x * res + vo).astype(_f32)  # (V,3)
 
         # --- quad emission per active edge ---------------------------------
+        # corner voxel ids resolve by binary search over the sorted active
+        # voxel keys (every in-range corner received this edge's row, so it
+        # is guaranteed present)
         tris = []
-
-        def emit(axis, idx, flip_vals):
-            if len(idx) == 0:
-                return
-            k, j, i = idx[:, 0], idx[:, 1], idx[:, 2]
-            if axis == 0:  # neighbors offsets in (y,z): (-1,-1),(0,-1),(0,0),(-1,0)
-                offs = [(0, -1, -1), (0, 0, -1), (0, 0, 0), (0, -1, 0)]
-            elif axis == 1:  # (x,z): (-1,-1),(-1,0),(0,0),(0,-1)
-                offs = [(-1, 0, -1), (-1, 0, 0), (0, 0, 0), (0, 0, -1)]
-            else:  # (x,y): (-1,-1),(0,-1),(0,0),(-1,0)
-                offs = [(-1, -1, 0), (0, -1, 0), (0, 0, 0), (-1, 0, 0)]
-            corner_ids = []
-            all_ok = np.ones(len(idx), bool)
-            for (di, dj, dk) in offs:
-                vid = pad_take(vox_map, k + dk, j + dj, i + di)
-                all_ok &= vid >= 0
-                corner_ids.append(vid)
-            corner_ids = np.stack(corner_ids, axis=1)  # (E,4)
-            corner_ids = corner_ids[all_ok]
-            flip = flip_vals[all_ok]
-            quads = final_verts[corner_ids]  # (E,4,3)
+        for a in range(3):
+            sel, corners, all_ok = edge_corners[a]
+            if not len(sel):
+                continue
+            corners = corners[all_ok]
+            flip = flip_all[sel][all_ok]
+            vid = np.searchsorted(uvox, corners)
+            quads = final_verts[vid]  # (E,4,3)
             quads[flip] = quads[flip][:, ::-1, :]
             tris.append(quads[:, [0, 1, 2], :])
             tris.append(quads[:, [2, 3, 0], :])
-
-        # flip: (edge-end dist - origin dist) < 0 (dual_contour.go:273-275)
-        fx = (dx - d0)[ax] < 0
-        fy = (dy - d0)[ay] < 0
-        fz = (dz - d0)[az] < 0
-        emit(0, ex_idx, fx)
-        emit(1, ey_idx, fy)
-        emit(2, ez_idx, fz)
         if not tris:
             return np.empty((0, 3, 3), _f32)
         self._debug_blocks = [len(t) for t in tris]
