@@ -71,7 +71,8 @@ def get_lib():
         ]
         lib.gsdf_weld.restype = ctypes.c_int64
         lib.gsdf_mc_decode.argtypes = [
-            ctypes.POINTER(ctypes.c_uint32),  # idw
+            ctypes.POINTER(ctypes.c_uint32),  # ids
+            ctypes.POINTER(ctypes.c_uint8),  # cases
             ctypes.c_int64,  # n_active
             ctypes.POINTER(ctypes.c_float),  # tvals
             ctypes.c_int64,  # n_verts
@@ -212,11 +213,11 @@ def _crossing_bits(idx8):
     )  # (A,3) bool
 
 
-def _mc_decode_numpy(idw, tvals, nx, ny, nz, origin, res):
+def _mc_decode_numpy(ids, cases, tvals, nx, ny, nz, origin, res):
     """Vectorized fallback decoder (same output as gsdf_mc_decode)."""
     tri_table, tri_count, edge_axis, edge_low = _mc_host_tables()
-    ids = (idw & 0xFFFFFF).astype(np.int64)
-    idx8 = (idw >> 24).astype(np.int32)
+    ids = ids.astype(np.int64)
+    idx8 = cases.astype(np.int32)
     A = len(ids)
     ci = (ids % nx).astype(np.int32)
     cj = ((ids // nx) % ny).astype(np.int32)
@@ -279,27 +280,29 @@ def _mc_decode_numpy(idw, tvals, nx, ny, nz, origin, res):
     return verts, tri_idx
 
 
-def mc_decode(idw, tvals, nx, ny, nz, origin, res):
+def mc_decode(ids, cases, tvals, nx, ny, nz, origin, res):
     """Decode a compact-field payload into an indexed mesh.
 
-    idw (A,) uint32 = cube id | case<<24; tvals (V,) f32 interpolation
-    parameters. Returns (verts (V,3) f32, tri_idx (T,3) i32). Raises
-    ValueError when an owner reference is unresolvable (caller falls back
-    to the device welded path)."""
-    idw = np.ascontiguousarray(idw, np.uint32)
+    ids (A,) uint32 active cube linear ids; cases (A,) uint8 MC case
+    bytes; tvals (V,) f32 interpolation parameters. Returns
+    (verts (V,3) f32, tri_idx (T,3) i32). Raises ValueError when an owner
+    reference is unresolvable (caller falls back to the welded path)."""
+    ids = np.ascontiguousarray(ids, np.uint32)
+    cases = np.ascontiguousarray(cases, np.uint8)
     tvals = np.ascontiguousarray(tvals, _f32)
     lib = get_lib()
     if lib is None:
-        return _mc_decode_numpy(idw, tvals, nx, ny, nz, origin, res)
+        return _mc_decode_numpy(ids, cases, tvals, nx, ny, nz, origin, res)
     tri_table, tri_count, edge_axis, edge_low = _mc_host_tables()
-    n_active = len(idw)
+    n_active = len(ids)
     n_verts = len(tvals)
-    total = int(tri_count[(idw >> 24)].astype(np.int64).sum())
+    total = int(tri_count[cases].astype(np.int64).sum())
     verts = np.empty((n_verts, 3), _f32)
     tri_idx = np.empty((total, 3), np.int32)
     origin32 = np.ascontiguousarray(origin, _f32)
     got = lib.gsdf_mc_decode(
-        idw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        cases.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         n_active,
         tvals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         n_verts,

@@ -112,8 +112,8 @@ int64_t gsdf_weld(const float* tris, int64_t n, float tol, float* verts_out,
 }
 
 // Marching-cubes table walk for the compact-field render path
-// (ops/compact_field.py). The device ships only (cube id | case byte)
-// words and per-crossing-edge interpolation parameters; this reconstructs
+// (ops/compact_field.py). The device ships only active cube ids, case
+// bytes and per-crossing-edge interpolation parameters; this reconstructs
 // the indexed mesh with the same float32 arithmetic as the device — the
 // host-side table walk the reference also performs
 // (glrender/marchcubes.go:34 consumed after GPU evaluation).
@@ -128,9 +128,10 @@ int64_t gsdf_weld(const float* tris, int64_t n, float tol, float* verts_out,
 // Returns the number of triangles written, or -1 if an owner-cube
 // reference could not be resolved (non-Lipschitz field pruned an owner;
 // caller falls back to the device welded path).
-int64_t gsdf_mc_decode(const uint32_t* idw, int64_t n_active,
-                       const float* tvals, int64_t n_verts, int32_t nx,
-                       int32_t ny, int32_t nz, const float* origin, float res,
+int64_t gsdf_mc_decode(const uint32_t* ids, const uint8_t* cases,
+                       int64_t n_active, const float* tvals, int64_t n_verts,
+                       int32_t nx, int32_t ny, int32_t nz,
+                       const float* origin, float res,
                        const int8_t* tri_table, const uint8_t* tri_count,
                        const uint8_t* edge_axis, const int8_t* edge_low,
                        float* verts_out, int32_t* tri_idx_out) {
@@ -141,9 +142,8 @@ int64_t gsdf_mc_decode(const uint32_t* idw, int64_t n_active,
     // pass 1: slot map, vertex-base prefix, vertex coordinates
     int64_t vc = 0;
     for (int64_t a = 0; a < n_active; a++) {
-        const uint32_t w = idw[a];
-        const uint32_t id = w & 0xFFFFFFu;
-        const uint32_t c = w >> 24;
+        const uint32_t id = ids[a];
+        const uint32_t c = cases[a];
         slot[id] = (int32_t)a;
         vbase[a] = (int32_t)vc;
         const uint32_t b0 = c & 1u;
@@ -174,9 +174,8 @@ int64_t gsdf_mc_decode(const uint32_t* idw, int64_t n_active,
     // pass 2: triangle table walk (reference winding: reversed triples)
     int64_t tc = 0;
     for (int64_t a = 0; a < n_active; a++) {
-        const uint32_t w = idw[a];
-        const uint32_t id = w & 0xFFFFFFu;
-        const uint32_t c = w >> 24;
+        const uint32_t id = ids[a];
+        const uint32_t c = cases[a];
         const int32_t ci = (int32_t)(id % (uint32_t)nx);
         const int32_t cj = (int32_t)((id / (uint32_t)nx) % (uint32_t)ny);
         const int32_t ck = (int32_t)(id / ((uint32_t)nx * (uint32_t)ny));
@@ -195,7 +194,7 @@ int64_t gsdf_mc_decode(const uint32_t* idw, int64_t n_active,
                     ((int64_t)ok * ny + oj) * nx + oi;
                 const int32_t os = slot[olin];
                 if (os < 0) return -1;  // owner not active
-                const uint32_t oc = idw[os] >> 24;
+                const uint32_t oc = cases[os];
                 const uint32_t ob0 = oc & 1u;
                 const uint32_t ocx = ob0 ^ ((oc >> 1) & 1u);
                 const uint32_t ocy = ob0 ^ ((oc >> 3) & 1u);

@@ -11,8 +11,10 @@ device (ONE dispatch, ONE fetch):
   grid eval -> classification -> active-cube compaction ->
   per-owner-edge interpolation parameter t -> packed buffer
     [n_active, n_verts,
-     idw (A u32): cube linear id (24 bits) | case index (8 bits),
-     t   (V f32): compacted crossing-edge parameters]
+     ids   (A i32): active cube linear ids,
+     cases (A/4 words): case bytes packed 4 per word (little-endian,
+                        so the fetched buffer views directly as u8),
+     t     (V f32): compacted crossing-edge parameters]
 
 host (native C++, numpy fallback):
   decode idw -> reconstruct vertex coordinates from (cube id, axis, t)
@@ -22,11 +24,9 @@ host (native C++, numpy fallback):
 Everything the table walk needs is sign-derived (the case byte), so
 triangle count/order/connectivity are bit-identical to the welded
 device path; vertex coordinates match to the last ulp. Payload is
-~8 B/vertex + 4 B/active-cube ≈ 2 MB on the flange (vs 6 MB welded,
-16.5 MB soup).
-
-The 24-bit cube id limits this path to grids under 2^24 cubes; larger
-grids fall back to the welded path (render/flat.py).
+~8 B/vertex + 5 B/active-cube ≈ 2 MB on the flange (vs 6 MB welded,
+16.5 MB soup). Cube ids are full int32: any grid to 2^31 cubes works
+(the welded fallback only covers renderer memory limits).
 """
 from __future__ import annotations
 
@@ -39,14 +39,16 @@ from .marching_cubes import _MC_EPS, _bucket
 
 _f32 = np.float32
 
-MAX_CUBES_24BIT = 1 << 24
+MAX_CUBES = 1 << 31  # int32 cube ids
+MAX_CUBES_24BIT = MAX_CUBES  # back-compat alias (format is u32 now)
 
 _cache: dict = {}
 
 
 def build_compact_field(tree, shape, a_size, v_size, device, parametric=False):
     """Compiled (origin, res, k0[, params]) -> packed 1-D f32 buffer:
-    2 bitcast counts [n_active, n_verts], a_size id words, v_size t floats.
+    2 bitcast counts [n_active, n_verts], a_size id words, a_size/4 packed
+    case words, v_size t floats. a_size must be a multiple of 4.
     """
     if parametric:
         from ..eval.parametric import _bind_params, param_spec, structural_hash
@@ -61,9 +63,11 @@ def build_compact_field(tree, shape, a_size, v_size, device, parametric=False):
 
     nk, nj, ni = (int(x) for x in shape)
     nx, ny, nz = ni - 1, nj - 1, nk - 1
-    if nx * ny * nz >= MAX_CUBES_24BIT:
-        raise ValueError("grid too large for 24-bit cube ids")
+    if nx * ny * nz >= MAX_CUBES:
+        raise ValueError("grid too large for int32 cube ids")
     A = int(a_size)
+    if A % 4:
+        raise ValueError("a_size must be a multiple of 4")
     V = int(v_size)
 
     def impl(origin, res, k0):
@@ -120,12 +124,19 @@ def build_compact_field(tree, shape, a_size, v_size, device, parametric=False):
         tvals = jnp.zeros((V + 1,), jnp.float32)
         tvals = tvals.at[vdest].set(t.reshape(-1), mode="drop")[:V]
 
-        idw = jnp.where(valid, safe | (idx8 << 24), 0)
+        ids = jnp.where(valid, safe, 0)
+        # case bytes packed 4 per word, little-endian: the fetched words
+        # view directly as a u8 array on host
+        c4 = jnp.where(valid, idx8, 0).reshape(A // 4, 4)
+        cases = (
+            c4[:, 0] | (c4[:, 1] << 8) | (c4[:, 2] << 16) | (c4[:, 3] << 24)
+        )
 
         counts = jnp.stack([n_active, n_verts])
         counts_f = jax.lax.bitcast_convert_type(counts, jnp.float32)
-        idw_f = jax.lax.bitcast_convert_type(idw, jnp.float32)
-        return jnp.concatenate([counts_f, idw_f, tvals])
+        ids_f = jax.lax.bitcast_convert_type(ids, jnp.float32)
+        cases_f = jax.lax.bitcast_convert_type(cases, jnp.float32)
+        return jnp.concatenate([counts_f, ids_f, cases_f, tvals])
 
     if parametric:
         spec = param_spec(tree)
@@ -163,10 +174,11 @@ def compact_field_render(
 ):
     """One-dispatch, one-fetch minimal-payload render.
 
-    Returns (idw (n_active,) uint32, tvals (n_verts,) f32, hint) — the
-    host-side decoder (native.mc_decode) turns these into an indexed mesh
-    or STL bytes. Grow-and-retry on buffer overflow, remembered hints per
-    tree (the welded path's discipline)."""
+    Returns (ids (n_active,) uint32, cases (n_active,) uint8,
+    tvals (n_verts,) f32, hint) — the host-side decoder (native.mc_decode)
+    turns these into an indexed mesh or STL bytes. Grow-and-retry on
+    buffer overflow, remembered hints per tree (the welded path's
+    discipline)."""
     nk, nj, ni = (int(x) for x in shape)
     ncubes = (nk - 1) * (nj - 1) * (ni - 1)
     if parametric:
@@ -205,9 +217,14 @@ def compact_field_render(
                 if prev:
                     hint = tuple(max(a, b) for a, b in zip(hint, prev))
             _cache[hint_key] = hint
-            idw = packed[2 : 2 + n_active].view(np.uint32)
-            tvals = packed[2 + a_size : 2 + a_size + n_verts]
-            return idw, tvals, hint
+            ids = packed[2 : 2 + n_active].view(np.uint32)
+            cases = packed[2 + a_size : 2 + a_size + a_size // 4].view(
+                np.uint8
+            )[:n_active]
+            tvals = packed[
+                2 + a_size + a_size // 4 : 2 + a_size + a_size // 4 + n_verts
+            ]
+            return ids, cases, tvals, hint
         if n_active > a_size:
             a_size = _bucket(n_active, granule=16384)
         if n_verts > v_size:

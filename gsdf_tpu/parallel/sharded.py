@@ -132,7 +132,7 @@ def sharded_compact_step(tree: Shader3D, mesh: Mesh, shape, a_size: int, v_size:
     ops/compact_field.py, sharded): each shard evaluates its z-slab
     (+1 halo plane), classifies, compacts its active cubes and crossing
     owner-edge interpolation parameters, and emits one packed buffer
-    [n_active, n_verts, idw (a_size), t (v_size)].
+    [n_active, n_verts, ids (a_size), packed case bytes (a_size/4), t (v_size)].
 
     Cube ids are LOCAL to the slab; global id = local + k0*nx*ny, and
     slab order equals global z-order, so the host-side concatenation of
@@ -152,6 +152,8 @@ def sharded_compact_step(tree: Shader3D, mesh: Mesh, shape, a_size: int, v_size:
     nk_local = nk // n_dev
     nx, ny = ni - 1, nj - 1
     A = int(a_size)
+    if A % 4:
+        raise ValueError("a_size must be a multiple of 4")
     V = int(v_size)
 
     @functools.partial(
@@ -208,11 +210,16 @@ def sharded_compact_step(tree: Shader3D, mesh: Mesh, shape, a_size: int, v_size:
         tvals = jnp.zeros((V + 1,), jnp.float32)
         tvals = tvals.at[vdest].set(t.reshape(-1), mode="drop")[:V]
 
-        idw = jnp.where(valid, safe | (idx8 << 24), 0)
+        ids_out = jnp.where(valid, safe, 0)
+        c4 = jnp.where(valid, idx8, 0).reshape(A // 4, 4)
+        cases = (
+            c4[:, 0] | (c4[:, 1] << 8) | (c4[:, 2] << 16) | (c4[:, 3] << 24)
+        )
         counts = jnp.stack([n_active, n_verts])
         counts_f = jax.lax.bitcast_convert_type(counts, jnp.float32)
-        idw_f = jax.lax.bitcast_convert_type(idw, jnp.float32)
-        return jnp.concatenate([counts_f, idw_f, tvals])[None]
+        ids_f = jax.lax.bitcast_convert_type(ids_out, jnp.float32)
+        cases_f = jax.lax.bitcast_convert_type(cases, jnp.float32)
+        return jnp.concatenate([counts_f, ids_f, cases_f, tvals])[None]
 
     return jax.jit(step)
 
@@ -260,19 +267,24 @@ def render_sharded_compact(tree: Shader3D, mesh: Mesh, res: float, size_hint=Non
         if worst_v > v_size:
             v_size = _bucket(worst_v, granule=16384)
     nk_local = nk // n_dev
-    ids_parts, t_parts = [], []
+    ids_parts, case_parts, t_parts = [], [], []
     for d in range(n_dev):
         na, nv = int(counts[d, 0]), int(counts[d, 1])
-        idw = np.ascontiguousarray(packed[d, 2 : 2 + na]).view(np.uint32)
+        ids = np.ascontiguousarray(packed[d, 2 : 2 + na]).view(np.uint32)
         # local slab id -> global id (slab order IS global z-order)
-        idw = (idw & np.uint32(0xFF000000)) | (
-            (idw & np.uint32(0x00FFFFFF)) + np.uint32(d * nk_local * nx * ny)
+        ids_parts.append(ids + np.uint32(d * nk_local * nx * ny))
+        case_parts.append(
+            np.ascontiguousarray(
+                packed[d, 2 + a_size : 2 + a_size + a_size // 4]
+            ).view(np.uint8)[:na]
         )
-        ids_parts.append(idw)
-        t_parts.append(packed[d, 2 + a_size : 2 + a_size + nv])
-    idw = np.concatenate(ids_parts)
+        t_parts.append(
+            packed[d, 2 + a_size + a_size // 4 : 2 + a_size + a_size // 4 + nv]
+        )
+    ids = np.concatenate(ids_parts)
+    cases = np.concatenate(case_parts)
     tvals = np.concatenate(t_parts).astype(_f32)
-    return mc_decode(idw, tvals, nx, ny, nz_padded, bb.min, res32)
+    return mc_decode(ids, cases, tvals, nx, ny, nz_padded, bb.min, res32)
 
 
 def render_sharded(tree: Shader3D, mesh: Mesh, res: float, max_tris_per_shard=1 << 18):

@@ -155,20 +155,20 @@ class FlatRenderer:
 
         Returns (verts (V,3) f32, tri_idx (T,3) i32) — identical counts
         and connectivity to render_indexed(); vertex coords equal to the
-        last ulp. Falls back to render_indexed() for grids beyond 24-bit
-        cube ids or if an owner reference is unresolvable (non-Lipschitz
-        fields)."""
+        last ulp. Falls back to render_indexed() for grids beyond the
+        memory threshold or if an owner reference is unresolvable
+        (non-Lipschitz fields)."""
         from ..native import mc_decode
-        from ..ops.compact_field import MAX_CUBES_24BIT, compact_field_render
+        from ..ops.compact_field import MAX_CUBES, compact_field_render
 
         nk, nj, ni = self.nz + 1, self.ny + 1, self.nx + 1
         if (
-            self.nx * self.ny * self.nz >= MAX_CUBES_24BIT
+            self.nx * self.ny * self.nz >= MAX_CUBES
             or nk * nj * ni > self.slab_cubes
         ):
             return self.render_indexed(parametric=parametric)
         self._evaluations += nk * nj * ni
-        idw, tvals, self._compact_hint = compact_field_render(
+        ids, cases, tvals, self._compact_hint = compact_field_render(
             self.s, self.origin, self.res, (nk, nj, ni), self.device,
             size_hint=getattr(self, "_compact_hint", None)
             if not parametric
@@ -177,7 +177,8 @@ class FlatRenderer:
         )
         try:
             return mc_decode(
-                idw, tvals, self.nx, self.ny, self.nz, self.origin, self.res
+                ids, cases, tvals, self.nx, self.ny, self.nz,
+                self.origin, self.res,
             )
         except ValueError:
             return self.render_indexed(parametric=parametric)

@@ -61,15 +61,16 @@ def test_numpy_fallback_matches_native():
     res = np.float32(0.05)
     fr = FlatRenderer(part, res)
     nk, nj, ni = fr.nz + 1, fr.ny + 1, fr.nx + 1
-    idw, tvals, _ = compact_field_render(
+    ids, cases, tvals, _ = compact_field_render(
         part, fr.origin, res, (nk, nj, ni), jax.devices()[0]
     )
     v_np, t_np = _mc_decode_numpy(
-        np.asarray(idw), np.asarray(tvals), fr.nx, fr.ny, fr.nz, fr.origin, fr.res
+        np.asarray(ids), np.asarray(cases), np.asarray(tvals),
+        fr.nx, fr.ny, fr.nz, fr.origin, fr.res,
     )
     if native.get_lib() is None:
         pytest.skip("no native toolchain")
-    v_c, t_c = mc_decode(idw, tvals, fr.nx, fr.ny, fr.nz, fr.origin, fr.res)
+    v_c, t_c = mc_decode(ids, cases, tvals, fr.nx, fr.ny, fr.nz, fr.origin, fr.res)
     np.testing.assert_array_equal(t_np, t_c)
     np.testing.assert_array_equal(v_np, v_c)
 
