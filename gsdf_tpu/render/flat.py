@@ -162,9 +162,12 @@ class FlatRenderer:
         from ..ops.compact_field import MAX_CUBES, compact_field_render
 
         nk, nj, ni = self.nz + 1, self.ny + 1, self.nx + 1
+        # the compact kernel's live set is ~2 grid-sized arrays (distances
+        # + classification) plus surface-sized compaction buffers, so it
+        # scales far past the triangle-emitting paths' threshold
         if (
             self.nx * self.ny * self.nz >= MAX_CUBES
-            or nk * nj * ni > self.slab_cubes
+            or nk * nj * ni > self.compact_cubes
         ):
             return self.render_indexed(parametric=parametric)
         self._evaluations += nk * nj * ni
@@ -190,6 +193,8 @@ class FlatRenderer:
     # headroom, not overlap: ~48M cubes keeps peak HBM use of the fused
     # executable well under one v5e chip's 16GB.
     slab_cubes = 48_000_000
+    # compact-field path memory gate (see render_compact)
+    compact_cubes = 256_000_000
 
     def _render_fused_slabbed(self) -> np.ndarray:
         from ..ops.fused_render import fused_render, fused_render_async

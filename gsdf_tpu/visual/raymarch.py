@@ -114,6 +114,20 @@ def _raymarch_fn(
     return fn
 
 
+def auto_relax(obj: Shader3D) -> float:
+    """Sphere-tracing relaxation appropriate for this tree.
+
+    Domain-warping ops (helical screw sweeps, twist) and shells of scaled
+    fields are not 1-Lipschitz: full steps overshoot thin features and
+    speckle (the reference's fragment raymarcher has the same artifact).
+    Under-step those trees automatically."""
+    warping = {"ScrewNode", "Twist"}
+    for n in obj.visit_bfs():
+        if type(n).__name__ in warping:
+            return 0.6
+    return 0.8
+
+
 def raymarch_image(
     obj: Shader3D,
     width: int = 512,
@@ -123,10 +137,13 @@ def raymarch_image(
     cam_dist: float = 2.4,
     steps: int = 196,
     device=None,
-    relax: float = 0.8,
+    relax: float | None = None,
 ) -> np.ndarray:
-    """Render one shaded view of the part, returning (H,W,3) uint8."""
+    """Render one shaded view of the part, returning (H,W,3) uint8.
+
+    relax=None picks a step relaxation automatically (auto_relax)."""
     device = device if device is not None else jax.devices()[0]
+    relax = auto_relax(obj) if relax is None else relax
     bb = obj.bounds()
     center = bb.center().astype(_f32)
     scale = _f32(max(float(np.max(bb.size())) / 2, 1e-9))
