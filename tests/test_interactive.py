@@ -45,3 +45,16 @@ def test_pitch_clamped():
     v.on_press(0, 0)
     v.on_move(0, 10000)
     assert abs(v.pitch) <= 1.45
+
+
+def test_auto_relax_detects_warped_trees():
+    from gsdf_tpu.forge import threads
+    from gsdf_tpu.visual.raymarch import auto_relax
+
+    bld = Builder()
+    plain = bld.union(bld.new_sphere(1.0), bld.new_box(1, 1, 1, 0))
+    assert auto_relax(plain) == 0.8
+    twisted = bld.twist(bld.new_box(1, 1, 1, 0), 0.5)
+    assert auto_relax(twisted) == 0.6
+    screw = threads.screw(bld, 4.0, threads.ISO(d=3.0, p=0.5))
+    assert auto_relax(bld.union(plain, screw)) == 0.6
