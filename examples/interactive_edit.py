@@ -29,14 +29,14 @@ if __name__ == "__main__":
 
     fr = FlatRenderer(pinned, 0.02)
     t0 = time.monotonic()
-    v, i = fr.render_indexed(parametric=True)
+    v, i = fr.render_compact(parametric=True)
     print(f"[{time.monotonic()-t0:.1f}s] first render (compile): {len(i)} triangles")
 
     cyl = body.s2  # the boss cylinder node
     for r in (0.35, 0.5, 0.6, 0.4):
         pinned.rebind({cyl: {"r": r}})  # supported parametric-edit API
         t0 = time.monotonic()
-        v, i = fr.render_indexed(parametric=True)
+        v, i = fr.render_compact(parametric=True)
         print(
             f"[{(time.monotonic()-t0)*1e3:.0f}ms] boss radius {r}: "
             f"{len(i)} triangles"
