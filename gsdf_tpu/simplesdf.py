@@ -168,6 +168,32 @@ class SDF3:
                 ),
             )
 
+    def _render_indexed(self, cfg: STLConfig):
+        from .render.flat import FlatRenderer
+
+        res = cfg.resolution
+        if res == 0:
+            divs = cfg.resolution_divisions or 1 << 9
+            res = self.s.bounds().diagonal() / divs
+        return FlatRenderer(self.s, res).render_compact()
+
+    def save_obj(self, filename: str, cfg: STLConfig = STLConfig()) -> int:
+        """Save a welded OBJ mesh (indexed; no crack-welding pass needed —
+        the compact render is already indexed). Returns triangle count."""
+        from .render.mesh_export import write_obj_indexed_file
+
+        verts, tri_idx = self._render_indexed(cfg)
+        write_obj_indexed_file(filename, verts, tri_idx)
+        return len(tri_idx)
+
+    def save_ply(self, filename: str, cfg: STLConfig = STLConfig()) -> int:
+        """Save a welded binary PLY mesh. Returns triangle count."""
+        from .render.mesh_export import write_ply_indexed_file
+
+        verts, tri_idx = self._render_indexed(cfg)
+        write_ply_indexed_file(filename, verts, tri_idx)
+        return len(tri_idx)
+
 
 @dataclasses.dataclass(frozen=True)
 class SDF2:

@@ -91,3 +91,29 @@ def test_sphere_golden_compact():
     fr = FlatRenderer(bld.new_sphere(1.0), 1.0 / 33)
     verts, tri_idx = fr.render_compact()
     assert tri_idx.shape == (41072, 3)
+
+
+def test_empty_scene_compact():
+    """A grid whose surface misses every cube: zero actives, empty mesh."""
+    bld = Builder()
+    s = bld.new_sphere(0.05)
+    from gsdf_tpu.core.wrappers import with_bounds
+    from gsdf_tpu.geometry import box3
+
+    # render region far away from the tiny sphere's surface
+    far = with_bounds(bld.translate(s, 100, 100, 100), box3(-1, -1, -1, 1, 1, 1))
+    verts, tri_idx = FlatRenderer(far, 0.2).render_compact()
+    assert len(verts) == 0 and len(tri_idx) == 0
+
+
+def test_simplesdf_obj_ply_export(tmp_path):
+    from gsdf_tpu import simplesdf as sdf
+
+    part = sdf.sphere(0.6) | sdf.box(0.8, 0.8, 0.8, 0)
+    cfg = sdf.STLConfig(resolution_divisions=48)
+    n1 = part.save_obj(str(tmp_path / "p.obj"), cfg)
+    n2 = part.save_ply(str(tmp_path / "p.ply"), cfg)
+    assert n1 == n2 > 100
+    txt = (tmp_path / "p.obj").read_text()
+    assert txt.startswith("v ") and "\nf " in txt
+    assert (tmp_path / "p.ply").read_bytes().startswith(b"ply\n")
