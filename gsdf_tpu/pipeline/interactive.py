@@ -57,6 +57,7 @@ class InteractiveViewer:
         device=None,
         steps: int = 196,
         drag_steps: int = 72,
+        aa: int = 2,
     ):
         import jax
 
@@ -66,6 +67,9 @@ class InteractiveViewer:
         self.device = device if device is not None else jax.devices()[0]
         self.steps = int(steps)
         self.drag_steps = int(drag_steps)
+        #: rest-quality supersampling; drag frames always render aa=1
+        #: (the reference UI's AA=3-at-rest / 1-in-motion behavior)
+        self.aa = int(aa)
         self.reset()
         self._dragging = False
         self._last_xy = None
@@ -82,9 +86,14 @@ class InteractiveViewer:
         from ..visual.raymarch import raymarch_image
 
         if quality == "drag":
-            w, h, steps = self.width // 2, self.height // 2, self.drag_steps
+            w, h, steps, aa = (
+                self.width // 2,
+                self.height // 2,
+                self.drag_steps,
+                1,
+            )
         else:
-            w, h, steps = self.width, self.height, self.steps
+            w, h, steps, aa = self.width, self.height, self.steps, self.aa
         img = raymarch_image(
             self.obj,
             width=w,
@@ -94,6 +103,7 @@ class InteractiveViewer:
             cam_dist=self.cam_dist,
             steps=steps,
             device=self.device,
+            aa=aa,
         )
         if quality == "drag":
             img = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)

@@ -138,12 +138,22 @@ def raymarch_image(
     steps: int = 196,
     device=None,
     relax: float | None = None,
+    aa: int = 1,
 ) -> np.ndarray:
     """Render one shaded view of the part, returning (H,W,3) uint8.
 
-    relax=None picks a step relaxation automatically (auto_relax)."""
+    relax=None picks a step relaxation automatically (auto_relax).
+    aa > 1 supersamples (renders aa*W x aa*H and box-filters down — the
+    reference UI's uAA antialiasing, gsdfaux/ui.go:131-241)."""
     device = device if device is not None else jax.devices()[0]
     relax = auto_relax(obj) if relax is None else relax
+    if aa > 1:
+        img = raymarch_image(
+            obj, width * aa, height * aa, yaw, pitch, cam_dist, steps,
+            device, relax, aa=1,
+        )
+        boxed = img.reshape(height, aa, width, aa, 3).astype(np.uint16)
+        return (boxed.mean(axis=(1, 3)) + 0.5).astype(np.uint8)
     bb = obj.bounds()
     center = bb.center().astype(_f32)
     scale = _f32(max(float(np.max(bb.size())) / 2, 1e-9))
