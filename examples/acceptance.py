@@ -79,6 +79,11 @@ def special_evaluators(tol):
     d2 = new_sdf2(bld.new_lines2d(segs, 0.1), jax.devices("cpu")[0]).evaluate(pts)
     assert np.max(np.abs(d1 - d2)) <= tol, "Lines2DGPU mismatch"
     print("  special evaluators: ok")
+    # throughput battery (the reference's purpose for these evaluators,
+    # glsdf3test.go:55-66)
+    from gsdf_tpu.eval.special import run_benchmarks
+
+    run_benchmarks(1 << 18, log=lambda m: print("  " + m))
 
 
 def stl_roundtrip_timing():
