@@ -53,6 +53,19 @@ def assert_bounds_valid_3d(shape, n=8):
                     f"negative distance {d[bad].min()} outside bounds at offset "
                     f"({ox},{oy},{oz}): {pts[bad][:3]}"
                 )
+                # central-difference normals at the offset box must not
+                # point back toward the shape (reference fails at cos<=0,
+                # gsdf_test.go:810-835); check the box-center sample
+                cpt = shifted.center().astype(_f32)[None, :]
+                nrm = normals_central_diff(sdf, cpt, eps)
+                away = cpt[0] - center
+                nn = float(np.linalg.norm(nrm[0])) * float(np.linalg.norm(away))
+                if nn > 0:
+                    cos = float(nrm[0] @ away) / nn
+                    assert cos > 0, (
+                        f"normal points toward the shape at offset "
+                        f"({ox},{oy},{oz}): cos={cos}"
+                    )
 
 
 def assert_field_valid_3d(shape, n=10, scale=1.5, lipschitz_tol=1e-2):
