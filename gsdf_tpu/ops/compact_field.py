@@ -17,7 +17,7 @@ device (ONE dispatch, ONE fetch):
      t     (V f32): compacted crossing-edge parameters]
 
 host (native C++, numpy fallback):
-  decode idw -> reconstruct vertex coordinates from (cube id, axis, t)
+  decode ids/cases -> reconstruct vertex coordinates from (cube id, axis, t)
   with the same float32 arithmetic as the device -> walk the 256-case
   tables -> indexed mesh (verts, tri_idx) or STL bytes directly.
 
@@ -40,7 +40,6 @@ from .marching_cubes import _MC_EPS, _bucket
 _f32 = np.float32
 
 MAX_CUBES = 1 << 31  # int32 cube ids
-MAX_CUBES_24BIT = MAX_CUBES  # back-compat alias (format is u32 now)
 
 _cache: dict = {}
 
