@@ -61,13 +61,16 @@ def main():
         write_binary_stl_indexed(buf, verts, tri_idx)
         return (time.monotonic() - t0) * 1e3, len(tri_idx)
 
-    # warm-up: compile or load persistent cache
+    # warm-up twice: first compiles (or loads the persistent cache), the
+    # second reaches steady state (exact-size buffer hints recorded by
+    # the first may compile one minimal-buffer executable)
     _, ntris = run()
+    run()
     # the perf number is also a correctness gate: exact reference count
     assert ntris == GOLDEN_FLANGE_TRIS, (
         f"triangle count {ntris} != golden {GOLDEN_FLANGE_TRIS}"
     )
-    times = [run()[0] for _ in range(5)]  # link latency is noisy; median of 5
+    times = [run()[0] for _ in range(7)]  # link latency is noisy; median of 7
     value = statistics.median(times)
     baseline_ms = 706.0 + 371.0  # reference RX6800 render + STL write
     print(
