@@ -29,6 +29,7 @@ def _build() -> bool:
                 # reconstruction (gsdf_mc_decode) is reproducible and
                 # matches the documented reference arithmetic
                 "-ffp-contract=off",
+                "-pthread",
                 "-o", _SO_PATH, _SRC,
             ],
             check=True,

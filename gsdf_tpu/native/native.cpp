@@ -13,9 +13,12 @@
 //     dedup the reference lacks
 //
 // Exposed with a plain C ABI for ctypes (no pybind11 dependency).
+#include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -138,89 +141,135 @@ int64_t gsdf_mc_decode(const uint32_t* ids, const uint8_t* cases,
     const int64_t ncubes = (int64_t)nx * ny * nz;
     std::vector<int32_t> slot(ncubes, -1);
     std::vector<int32_t> vbase(n_active + 1, 0);
+    std::vector<int64_t> toffs(n_active + 1, 0);
 
-    // pass 1: slot map, vertex-base prefix, vertex coordinates
-    int64_t vc = 0;
-    for (int64_t a = 0; a < n_active; a++) {
-        const uint32_t id = ids[a];
-        const uint32_t c = cases[a];
-        slot[id] = (int32_t)a;
-        vbase[a] = (int32_t)vc;
-        const uint32_t b0 = c & 1u;
-        const uint32_t cross[3] = {b0 ^ ((c >> 1) & 1u), b0 ^ ((c >> 3) & 1u),
-                                   b0 ^ ((c >> 4) & 1u)};
-        const int32_t ci = (int32_t)(id % (uint32_t)nx);
-        const int32_t cj = (int32_t)((id / (uint32_t)nx) % (uint32_t)ny);
-        const int32_t ck = (int32_t)(id / ((uint32_t)nx * (uint32_t)ny));
-        // reference float32 arithmetic: origin + index*res, +res per axis
-        const float pa[3] = {origin[0] + (float)ci * res,
-                             origin[1] + (float)cj * res,
-                             origin[2] + (float)ck * res};
-        for (int ax = 0; ax < 3; ax++) {
-            if (!cross[ax]) continue;
-            if (vc >= n_verts) return -1;  // corrupt payload
-            const float t = tvals[vc];
-            float* o = verts_out + vc * 3;
-            o[0] = pa[0];
-            o[1] = pa[1];
-            o[2] = pa[2];
-            const float pb = pa[ax] + res;
-            o[ax] = (t == 1.0f) ? pb : pa[ax] + t * (pb - pa[ax]);
-            vc++;
+    const int nthreads = (int)std::min<int64_t>(
+        std::max(1u, std::thread::hardware_concurrency()),
+        std::max<int64_t>(1, n_active / 16384));
+    std::atomic<bool> failed(false);
+
+    auto parallel_for = [&](auto body) {
+        if (nthreads <= 1) {
+            body(0, n_active);
+            return;
         }
-    }
-    vbase[n_active] = (int32_t)vc;
+        std::vector<std::thread> ts;
+        const int64_t chunk = (n_active + nthreads - 1) / nthreads;
+        for (int t = 0; t < nthreads; t++) {
+            const int64_t lo = t * chunk;
+            const int64_t hi = std::min<int64_t>(lo + chunk, n_active);
+            if (lo >= hi) break;
+            ts.emplace_back(body, lo, hi);
+        }
+        for (auto& th : ts) th.join();
+    };
 
-    // pass 2: triangle table walk (reference winding: reversed triples)
-    int64_t tc = 0;
+    // pass 1 (parallel): slot map (disjoint writes), per-cube vertex and
+    // triangle counts
+    parallel_for([&](int64_t lo, int64_t hi) {
+        for (int64_t a = lo; a < hi; a++) {
+            const uint32_t c = cases[a];
+            slot[ids[a]] = (int32_t)a;
+            const uint32_t b0 = c & 1u;
+            vbase[a + 1] = (int32_t)((b0 ^ ((c >> 1) & 1u)) +
+                                     (b0 ^ ((c >> 3) & 1u)) +
+                                     (b0 ^ ((c >> 4) & 1u)));
+            toffs[a + 1] = tri_count[c];
+        }
+    });
+
+    // prefix sums (serial, O(n_active))
     for (int64_t a = 0; a < n_active; a++) {
-        const uint32_t id = ids[a];
-        const uint32_t c = cases[a];
-        const int32_t ci = (int32_t)(id % (uint32_t)nx);
-        const int32_t cj = (int32_t)((id / (uint32_t)nx) % (uint32_t)ny);
-        const int32_t ck = (int32_t)(id / ((uint32_t)nx * (uint32_t)ny));
-        const int nt = tri_count[c];
-        const int8_t* row = tri_table + (int64_t)c * 15;
-        for (int s = 0; s < nt; s++) {
-            int32_t vid[3];
-            for (int j = 0; j < 3; j++) {
-                const int e = row[s * 3 + j];
-                const int ax = edge_axis[e];
-                const int32_t oi = ci + edge_low[e * 3 + 0];
-                const int32_t oj = cj + edge_low[e * 3 + 1];
-                const int32_t ok = ck + edge_low[e * 3 + 2];
-                if (oi >= nx || oj >= ny || ok >= nz) return -1;
-                const int64_t olin =
-                    ((int64_t)ok * ny + oj) * nx + oi;
-                const int32_t os = slot[olin];
-                if (os < 0) return -1;  // owner not active
-                const uint32_t oc = cases[os];
-                const uint32_t ob0 = oc & 1u;
-                const uint32_t ocx = ob0 ^ ((oc >> 1) & 1u);
-                const uint32_t ocy = ob0 ^ ((oc >> 3) & 1u);
-                int rank = 0;
-                if (ax == 1)
-                    rank = (int)ocx;
-                else if (ax == 2)
-                    rank = (int)(ocx + ocy);
-                vid[j] = vbase[os] + rank;
+        vbase[a + 1] = (int32_t)(vbase[a + 1] + vbase[a]);
+        toffs[a + 1] += toffs[a];
+    }
+    if ((int64_t)vbase[n_active] != n_verts) return -1;  // corrupt payload
+
+    // pass 2 (parallel): vertex reconstruction + triangle table walk,
+    // every cube writes disjoint [vbase[a], vbase[a+1]) / toffs ranges
+    parallel_for([&](int64_t lo, int64_t hi) {
+        for (int64_t a = lo; a < hi && !failed.load(std::memory_order_relaxed);
+             a++) {
+            const uint32_t id = ids[a];
+            const uint32_t c = cases[a];
+            const int32_t ci = (int32_t)(id % (uint32_t)nx);
+            const int32_t cj = (int32_t)((id / (uint32_t)nx) % (uint32_t)ny);
+            const int32_t ck = (int32_t)(id / ((uint32_t)nx * (uint32_t)ny));
+            // reference float32 arithmetic: origin + index*res, +res/axis
+            const float pa[3] = {origin[0] + (float)ci * res,
+                                 origin[1] + (float)cj * res,
+                                 origin[2] + (float)ck * res};
+            const uint32_t b0 = c & 1u;
+            const uint32_t cross[3] = {b0 ^ ((c >> 1) & 1u),
+                                       b0 ^ ((c >> 3) & 1u),
+                                       b0 ^ ((c >> 4) & 1u)};
+            int64_t vc = vbase[a];
+            for (int ax = 0; ax < 3; ax++) {
+                if (!cross[ax]) continue;
+                const float t = tvals[vc];
+                float* o = verts_out + vc * 3;
+                o[0] = pa[0];
+                o[1] = pa[1];
+                o[2] = pa[2];
+                const float pb = pa[ax] + res;
+                o[ax] = (t == 1.0f) ? pb : pa[ax] + t * (pb - pa[ax]);
+                vc++;
             }
-            // winding: Triangle{points[t2], points[t1], points[t0]}
-            int32_t* out = tri_idx_out + tc * 3;
-            out[0] = vid[2];
-            out[1] = vid[1];
-            out[2] = vid[0];
-            tc++;
+
+            const int nt = tri_count[c];
+            const int8_t* row = tri_table + (int64_t)c * 15;
+            int64_t tc = toffs[a];
+            for (int sidx = 0; sidx < nt; sidx++) {
+                int32_t vid[3];
+                for (int j = 0; j < 3; j++) {
+                    const int e = row[sidx * 3 + j];
+                    const int ax = edge_axis[e];
+                    const int32_t oi = ci + edge_low[e * 3 + 0];
+                    const int32_t oj = cj + edge_low[e * 3 + 1];
+                    const int32_t ok = ck + edge_low[e * 3 + 2];
+                    if (oi >= nx || oj >= ny || ok >= nz) {
+                        failed.store(true, std::memory_order_relaxed);
+                        return;
+                    }
+                    const int64_t olin = ((int64_t)ok * ny + oj) * nx + oi;
+                    const int32_t os = slot[olin];
+                    if (os < 0) {  // owner not active
+                        failed.store(true, std::memory_order_relaxed);
+                        return;
+                    }
+                    const uint32_t oc = cases[os];
+                    const uint32_t ob0 = oc & 1u;
+                    const uint32_t ocx = ob0 ^ ((oc >> 1) & 1u);
+                    const uint32_t ocy = ob0 ^ ((oc >> 3) & 1u);
+                    int rank = 0;
+                    if (ax == 1)
+                        rank = (int)ocx;
+                    else if (ax == 2)
+                        rank = (int)(ocx + ocy);
+                    vid[j] = vbase[os] + rank;
+                }
+                // winding: Triangle{points[t2], points[t1], points[t0]}
+                int32_t* out = tri_idx_out + tc * 3;
+                out[0] = vid[2];
+                out[1] = vid[1];
+                out[2] = vid[0];
+                tc++;
+            }
         }
-    }
-    return tc;
+    });
+    if (failed.load()) return -1;
+    return toffs[n_active];
 }
 
 // Encode an indexed mesh directly into binary STL records (gather +
 // normal + pack in one pass; skips materializing the 36 B/triangle soup).
 void gsdf_stl_encode_indexed(const float* verts, const int32_t* tri_idx,
                              int64_t n, unsigned char* out) {
-    for (int64_t i = 0; i < n; i++) {
+    const int nthreads = (int)std::min<int64_t>(
+        std::max(1u, std::thread::hardware_concurrency()),
+        std::max<int64_t>(1, n / 65536));
+    auto body = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; i++) {
         const int32_t* ix = tri_idx + i * 3;
         const float* a = verts + (int64_t)ix[0] * 3;
         const float* b = verts + (int64_t)ix[1] * 3;
@@ -242,9 +291,23 @@ void gsdf_stl_encode_indexed(const float* verts, const int32_t* tri_idx,
         std::memcpy(rec + 12, a, 12);
         std::memcpy(rec + 24, b, 12);
         std::memcpy(rec + 36, c, 12);
-        rec[48] = 0;
-        rec[49] = 0;
+            rec[48] = 0;
+            rec[49] = 0;
+        }
+    };
+    if (nthreads <= 1) {
+        body(0, n);
+        return;
     }
+    std::vector<std::thread> ts;
+    const int64_t chunk = (n + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        const int64_t lo = t * chunk;
+        const int64_t hi = std::min<int64_t>(lo + chunk, n);
+        if (lo >= hi) break;
+        ts.emplace_back(body, lo, hi);
+    }
+    for (auto& th : ts) th.join();
 }
 
 }  // extern "C"
