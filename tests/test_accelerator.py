@@ -46,3 +46,21 @@ def test_render_paths_agree_on_device():
     tris = fr.render()
     verts, idx = fr.render_indexed()
     assert len(idx) == len(tris)
+
+
+@requires_accel
+def test_compact_path_on_device_matches_cpu():
+    """The production compact path on the accelerator must produce the
+    same triangle count as the CPU oracle render AND bit-identical
+    connectivity to the on-device welded path."""
+    from gsdf_tpu import Builder
+    from gsdf_tpu.render.flat import FlatRenderer
+
+    bld = Builder()
+    s = bld.smooth_union(0.15, bld.new_torus(0.7, 0.2), bld.new_sphere(0.5))
+    res = s.bounds().diagonal() / 64
+    cv, ct = FlatRenderer(s, res, device=_accel()).render_compact()
+    wv, wt = FlatRenderer(s, res, device=_accel()).render_indexed()
+    np.testing.assert_array_equal(ct, wt)
+    tris_cpu = FlatRenderer(s, res, device=jax.devices("cpu")[0]).render()
+    assert len(ct) == len(tris_cpu)
