@@ -14,7 +14,18 @@ import pytest  # noqa: E402
 
 # The axon site hook force-registers the TPU plugin and overrides
 # jax_platforms; pin tests back to the virtual-device CPU backend.
-jax.config.update("jax_platforms", "cpu")
+# GSDF_TPU_TEST_ACCEL=1 keeps the accelerator as the default platform
+# WITH the 8 virtual CPU devices still available, so the whole suite —
+# including the accelerator-only parity tests (test_accelerator.py) —
+# runs against the real chip: `GSDF_TPU_TEST_ACCEL=1 pytest tests/`.
+if os.environ.get("GSDF_TPU_TEST_ACCEL"):
+    try:
+        jax.config.update("jax_platforms", "axon,cpu")
+        jax.devices()  # force backend init; falls back if axon is absent
+    except Exception:
+        jax.config.update("jax_platforms", "cpu")
+else:
+    jax.config.update("jax_platforms", "cpu")
 
 
 def pytest_configure(config):
