@@ -117,3 +117,18 @@ def test_simplesdf_obj_ply_export(tmp_path):
     txt = (tmp_path / "p.obj").read_text()
     assert txt.startswith("v ") and "\nf " in txt
     assert (tmp_path / "p.ply").read_bytes().startswith(b"ply\n")
+
+
+def test_render_compact_without_native_toolchain(monkeypatch):
+    """With no native library (numpy fallbacks), render_compact must
+    produce the identical mesh."""
+    from gsdf_tpu import native
+
+    bld = Builder()
+    part = bld.difference(bld.new_sphere(0.8), bld.new_box(0.5, 0.5, 2.0, 0))
+    res = part.bounds().diagonal() / 40
+    v_ref, t_ref = FlatRenderer(part, res).render_compact()
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    v_np, t_np = FlatRenderer(part, res).render_compact()
+    np.testing.assert_array_equal(t_np, t_ref)
+    np.testing.assert_array_equal(v_np, v_ref)
