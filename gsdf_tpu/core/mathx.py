@@ -110,18 +110,34 @@ def _atan_lowerable(x):
     )
     y = _atan_poly(xr)
     y = y + jnp.where(big, _PI_2, jnp.where(mid, _PI_4, np.float32(0.0)))
-    return jnp.where(x < 0, -y, y)
+    # signbit, not x<0: atan(-0.0) is -0.0 (atan2 seam sign rides on this)
+    return jnp.where(jnp.signbit(x), -y, y)
 
 
 def _atan2_lowerable(y, x):
     safe_x = jnp.where(x == 0, 1.0, x)
     r = _atan_lowerable(y / safe_x)
-    r = jnp.where(
-        x < 0, jnp.where(y < 0, r - _PI, r + _PI), r
-    )
+    # quadrant correction selected by signbit(y), not y<0, so atan2(-0.0,
+    # x<0) returns -pi exactly as jnp.arctan2 does (no 2*pi seam between
+    # the Pallas and XLA backends on the y=0 half-plane)
+    sy = jnp.signbit(y)
+    r = jnp.where(x < 0, jnp.where(sy, r - _PI, r + _PI), r)
     r = jnp.where(
         x == 0,
-        jnp.where(y > 0, _PI_2, jnp.where(y < 0, -_PI_2, np.float32(0.0))),
+        jnp.where(
+            y > 0,
+            _PI_2,
+            jnp.where(
+                y < 0,
+                -_PI_2,
+                # y == +-0: x == -0.0 gives +-pi, x == +0.0 gives +-0
+                jnp.where(
+                    jnp.signbit(x),
+                    jnp.where(sy, -_PI, _PI),
+                    jnp.where(sy, -np.float32(0.0), np.float32(0.0)),
+                ),
+            ),
+        ),
         r,
     )
     return r

@@ -218,6 +218,9 @@ def _mc_decode_numpy(ids, cases, tvals, nx, ny, nz, origin, res):
     """Vectorized fallback decoder (same output as gsdf_mc_decode)."""
     tri_table, tri_count, edge_axis, edge_low = _mc_host_tables()
     ids = ids.astype(np.int64)
+    if len(ids) and int(ids.max()) >= nx * ny * nz:
+        # same clean failure as the native decoder's pass-1 id check
+        raise ValueError("cube id outside decode space")
     idx8 = cases.astype(np.int32)
     A = len(ids)
     ci = (ids % nx).astype(np.int32)
@@ -260,14 +263,22 @@ def _mc_decode_numpy(ids, cases, tvals, nx, ny, nz, origin, res):
     e = np.maximum(tbl, 0)
     eax = edge_axis.astype(np.int64)[e]  # (A,5,3)
     elow = edge_low.astype(np.int64)[e]  # (A,5,3,3)
-    oi = np.minimum(ci[:, None, None] + elow[..., 0], nx - 1)
-    oj = np.minimum(cj[:, None, None] + elow[..., 1], ny - 1)
-    ok = np.minimum(ck[:, None, None] + elow[..., 2], nz - 1)
+    oi = ci[:, None, None] + elow[..., 0]
+    oj = cj[:, None, None] + elow[..., 1]
+    ok = ck[:, None, None] + elow[..., 2]
+    valid = np.arange(5, dtype=np.int32)[None, :] < counts[:, None]  # (A,5)
+    # owner coord past the decode space (surface touching the grid's max
+    # boundary face, e.g. with_bounds-cropped renders) must fail exactly
+    # like the native decoder's oi>=nx check so both paths take the same
+    # welded fallback — never silently bind a wrong vertex via clamping
+    oob = (oi >= nx) | (oj >= ny) | (ok >= nz)  # (A,5,3)
+    if (oob & valid[:, :, None]).any():
+        raise ValueError("owner cube outside decode space")
+    oi, oj, ok = np.where(oob, 0, oi), np.where(oob, 0, oj), np.where(oob, 0, ok)
     owner_lin = (ok * ny + oj) * nx + oi  # (A,5,3)
     slot_map = np.full(nx * ny * nz, -1, np.int32)
     slot_map[ids] = np.arange(A, dtype=np.int32)
     oslot = slot_map[owner_lin]  # (A,5,3)
-    valid = np.arange(5, dtype=np.int32)[None, :] < counts[:, None]  # (A,5)
     if (oslot < 0)[valid].any():
         raise ValueError("unresolved owner cube (non-Lipschitz field?)")
     os_safe = np.maximum(oslot, 0)

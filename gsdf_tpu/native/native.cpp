@@ -165,9 +165,15 @@ int64_t gsdf_mc_decode(const uint32_t* ids, const uint8_t* cases,
     };
 
     // pass 1 (parallel): slot map (disjoint writes), per-cube vertex and
-    // triangle counts
+    // triangle counts. ids are caller data: an id past the decode space
+    // (e.g. a sharded render whose padded halo layer went active on a
+    // non-Lipschitz field) must fail cleanly, not write out of bounds.
     parallel_for([&](int64_t lo, int64_t hi) {
         for (int64_t a = lo; a < hi; a++) {
+            if ((int64_t)ids[a] >= ncubes) {
+                failed.store(true, std::memory_order_relaxed);
+                return;
+            }
             const uint32_t c = cases[a];
             slot[ids[a]] = (int32_t)a;
             const uint32_t b0 = c & 1u;
@@ -177,6 +183,8 @@ int64_t gsdf_mc_decode(const uint32_t* ids, const uint8_t* cases,
             toffs[a + 1] = tri_count[c];
         }
     });
+
+    if (failed.load()) return -1;  // out-of-range cube id
 
     // prefix sums (serial, O(n_active))
     for (int64_t a = 0; a < n_active; a++) {

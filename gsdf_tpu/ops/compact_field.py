@@ -44,6 +44,81 @@ MAX_CUBES = 1 << 31  # int32 cube ids
 _cache: dict = {}
 
 
+def compact_emit(grid, res, a_size, v_size):
+    """Classify -> compact -> owner-edge-t -> packed buffer. The ONE
+    compact-field emit implementation, shared by the single-device builder
+    below and the sharded step (parallel/sharded.py) — the same
+    one-kernel discipline ops/mc_emit.py enforces for the soup path
+    (reference: ONE mcToTriangles, glrender/marchcubes.go:34).
+
+    grid: (nkg, nj, ni) corner distances; every cube between grid planes
+    is classified, so a sharded caller passes its slab plus one +z halo
+    plane. Returns the packed 1-D f32 buffer
+    [n_active, n_verts (bitcast i32), ids (a_size i32, slab-local),
+     case bytes packed 4/word (a_size/4), t (v_size f32)].
+    """
+    nkg, nj, ni = grid.shape
+    nx, ny = ni - 1, nj - 1
+    A = int(a_size)
+    V = int(v_size)
+
+    index, active = mc_emit.classify(grid, res)
+    n_active = jnp.sum(active.astype(jnp.int32))
+    cube_id = mc_emit.compact_indices(active.reshape(-1), A)
+    valid = cube_id >= 0
+    safe = jnp.maximum(cube_id, 0)
+
+    # case byte: gather from the dense classification (1 i32/cube)
+    idx8 = index.reshape(-1)[safe]
+
+    # corner 0 and the 3 low-edge far corners (+x,+y,+z): 4 gathers
+    ci = safe % nx
+    cj = (safe // nx) % ny
+    ck = safe // (nx * ny)
+    base_lin = ck * (nj * ni) + cj * ni + ci
+    gflat = grid.reshape(-1)
+    strides = jnp.asarray(np.array([0, 1, ni, nj * ni], np.int32))
+    v4 = gflat[base_lin[:, None] + strides[None, :]]  # (A,4): v0,vx,vy,vz
+    v0 = v4[:, 0:1]
+    vfar = v4[:, 1:]
+
+    # crossing low edges straight from the case byte's sign bits
+    b0 = idx8 & 1
+    cx = b0 != ((idx8 >> 1) & 1)
+    cy = b0 != ((idx8 >> 3) & 1)
+    cz = b0 != ((idx8 >> 4) & 1)
+    crossing = jnp.stack([cx, cy, cz], axis=-1) & valid[:, None]  # (A,3)
+
+    # interpolation parameter with the reference's epsilon rules
+    # (mcInterpolate, marchcubes.go:76-98); endpoint snaps are BAKED
+    # INTO t (0 or 1) so the host can reconstruct from t alone
+    ca = jnp.abs(v0) < _MC_EPS
+    cb = jnp.abs(vfar) < _MC_EPS
+    t = jnp.where(ca & cb, 0.5, (0.0 - v0) / (vfar - v0))
+    t = jnp.where(cb & ~ca, 1.0, t)
+    t = jnp.where(ca & ~cb, 0.0, t)  # (A,3)
+
+    # compact t over crossing edges, cube-major / axis x,y,z order
+    vflags = crossing.reshape(-1)
+    vpos = jnp.cumsum(vflags.astype(jnp.int32)) - 1
+    n_verts = vpos[-1] + 1
+    vdest = jnp.where(vflags, vpos, V)
+    tvals = jnp.zeros((V + 1,), jnp.float32)
+    tvals = tvals.at[vdest].set(t.reshape(-1), mode="drop")[:V]
+
+    ids = jnp.where(valid, safe, 0)
+    # case bytes packed 4 per word, little-endian: the fetched words
+    # view directly as a u8 array on host
+    c4 = jnp.where(valid, idx8, 0).reshape(A // 4, 4)
+    cases = c4[:, 0] | (c4[:, 1] << 8) | (c4[:, 2] << 16) | (c4[:, 3] << 24)
+
+    counts = jnp.stack([n_active, n_verts])
+    counts_f = jax.lax.bitcast_convert_type(counts, jnp.float32)
+    ids_f = jax.lax.bitcast_convert_type(ids, jnp.float32)
+    cases_f = jax.lax.bitcast_convert_type(cases, jnp.float32)
+    return jnp.concatenate([counts_f, ids_f, cases_f, tvals])
+
+
 def build_compact_field(tree, shape, a_size, v_size, device, parametric=False):
     """Compiled (origin, res, k0[, params]) -> packed 1-D f32 buffer:
     2 bitcast counts [n_active, n_verts], a_size id words, a_size/4 packed
@@ -78,64 +153,7 @@ def build_compact_field(tree, shape, a_size, v_size, device, parametric=False):
             axis=-1,
         )
         grid = tree.distance(p)
-
-        index, active = mc_emit.classify(grid, res)
-        n_active = jnp.sum(active.astype(jnp.int32))
-        cube_id = mc_emit.compact_indices(active.reshape(-1), A)
-        valid = cube_id >= 0
-        safe = jnp.maximum(cube_id, 0)
-
-        # case byte: gather from the dense classification (1 i32/cube)
-        idx8 = index.reshape(-1)[safe]
-
-        # corner 0 and the 3 low-edge far corners (+x,+y,+z): 4 gathers
-        ci = safe % nx
-        cj = (safe // nx) % ny
-        ck = safe // (nx * ny)
-        base_lin = ck * (nj * ni) + cj * ni + ci
-        gflat = grid.reshape(-1)
-        strides = jnp.asarray(np.array([0, 1, ni, nj * ni], np.int32))
-        v4 = gflat[base_lin[:, None] + strides[None, :]]  # (A,4): v0,vx,vy,vz
-        v0 = v4[:, 0:1]
-        vfar = v4[:, 1:]
-
-        # crossing low edges straight from the case byte's sign bits
-        b0 = idx8 & 1
-        cx = b0 != ((idx8 >> 1) & 1)
-        cy = b0 != ((idx8 >> 3) & 1)
-        cz = b0 != ((idx8 >> 4) & 1)
-        crossing = jnp.stack([cx, cy, cz], axis=-1) & valid[:, None]  # (A,3)
-
-        # interpolation parameter with the reference's epsilon rules
-        # (mcInterpolate, marchcubes.go:76-98); endpoint snaps are BAKED
-        # INTO t (0 or 1) so the host can reconstruct from t alone
-        ca = jnp.abs(v0) < _MC_EPS
-        cb = jnp.abs(vfar) < _MC_EPS
-        t = jnp.where(ca & cb, 0.5, (0.0 - v0) / (vfar - v0))
-        t = jnp.where(cb & ~ca, 1.0, t)
-        t = jnp.where(ca & ~cb, 0.0, t)  # (A,3)
-
-        # compact t over crossing edges, cube-major / axis x,y,z order
-        vflags = crossing.reshape(-1)
-        vpos = jnp.cumsum(vflags.astype(jnp.int32)) - 1
-        n_verts = vpos[-1] + 1
-        vdest = jnp.where(vflags, vpos, V)
-        tvals = jnp.zeros((V + 1,), jnp.float32)
-        tvals = tvals.at[vdest].set(t.reshape(-1), mode="drop")[:V]
-
-        ids = jnp.where(valid, safe, 0)
-        # case bytes packed 4 per word, little-endian: the fetched words
-        # view directly as a u8 array on host
-        c4 = jnp.where(valid, idx8, 0).reshape(A // 4, 4)
-        cases = (
-            c4[:, 0] | (c4[:, 1] << 8) | (c4[:, 2] << 16) | (c4[:, 3] << 24)
-        )
-
-        counts = jnp.stack([n_active, n_verts])
-        counts_f = jax.lax.bitcast_convert_type(counts, jnp.float32)
-        ids_f = jax.lax.bitcast_convert_type(ids, jnp.float32)
-        cases_f = jax.lax.bitcast_convert_type(cases, jnp.float32)
-        return jnp.concatenate([counts_f, ids_f, cases_f, tvals])
+        return compact_emit(grid, res, A, V)
 
     if parametric:
         spec = param_spec(tree)

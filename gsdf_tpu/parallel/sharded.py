@@ -141,16 +141,18 @@ def sharded_compact_step(tree: Shader3D, mesh: Mesh, shape, a_size: int, v_size:
     references across slab boundaries resolving in the merged active
     set. No collectives: the only cross-shard data is one redundantly
     evaluated halo plane.
+
+    The emit itself is ops/compact_field.compact_emit — the SAME
+    implementation the single-device builder compiles, so any epsilon or
+    packing change keeps sharded-vs-single bit-exactness by construction.
     """
-    from ..ops import mc_emit
-    from ..ops.marching_cubes import _MC_EPS
+    from ..ops.compact_field import compact_emit
 
     nk, nj, ni = (int(x) for x in shape)
     n_dev = mesh.devices.size
     if nk % n_dev != 0:
         raise ValueError(f"slab axis {nk} not divisible by {n_dev} devices")
     nk_local = nk // n_dev
-    nx, ny = ni - 1, nj - 1
     A = int(a_size)
     if A % 4:
         raise ValueError("a_size must be a multiple of 4")
@@ -173,53 +175,8 @@ def sharded_compact_step(tree: Shader3D, mesh: Mesh, shape, a_size: int, v_size:
             [origin[0] + ix * res, origin[1] + iy * res, origin[2] + iz * res],
             axis=-1,
         )
-        grid = tree.distance(p)
-
-        index, active = mc_emit.classify(grid, res)
-        n_active = jnp.sum(active.astype(jnp.int32))
-        cube_id = mc_emit.compact_indices(active.reshape(-1), A)
-        valid = cube_id >= 0
-        safe = jnp.maximum(cube_id, 0)
-        idx8 = index.reshape(-1)[safe]
-
-        ci = safe % nx
-        cj = (safe // nx) % ny
-        ck = safe // (nx * ny)
-        base_lin = ck * (nj * ni) + cj * ni + ci
-        gflat = grid.reshape(-1)
-        strides = jnp.asarray(np.array([0, 1, ni, nj * ni], np.int32))
-        v4 = gflat[base_lin[:, None] + strides[None, :]]
-        v0, vfar = v4[:, 0:1], v4[:, 1:]
-
-        b0 = idx8 & 1
-        cx = b0 != ((idx8 >> 1) & 1)
-        cy = b0 != ((idx8 >> 3) & 1)
-        cz = b0 != ((idx8 >> 4) & 1)
-        crossing = jnp.stack([cx, cy, cz], axis=-1) & valid[:, None]
-
-        ca = jnp.abs(v0) < _MC_EPS
-        cb = jnp.abs(vfar) < _MC_EPS
-        t = jnp.where(ca & cb, 0.5, (0.0 - v0) / (vfar - v0))
-        t = jnp.where(cb & ~ca, 1.0, t)
-        t = jnp.where(ca & ~cb, 0.0, t)
-
-        vflags = crossing.reshape(-1)
-        vpos = jnp.cumsum(vflags.astype(jnp.int32)) - 1
-        n_verts = vpos[-1] + 1
-        vdest = jnp.where(vflags, vpos, V)
-        tvals = jnp.zeros((V + 1,), jnp.float32)
-        tvals = tvals.at[vdest].set(t.reshape(-1), mode="drop")[:V]
-
-        ids_out = jnp.where(valid, safe, 0)
-        c4 = jnp.where(valid, idx8, 0).reshape(A // 4, 4)
-        cases = (
-            c4[:, 0] | (c4[:, 1] << 8) | (c4[:, 2] << 16) | (c4[:, 3] << 24)
-        )
-        counts = jnp.stack([n_active, n_verts])
-        counts_f = jax.lax.bitcast_convert_type(counts, jnp.float32)
-        ids_f = jax.lax.bitcast_convert_type(ids_out, jnp.float32)
-        cases_f = jax.lax.bitcast_convert_type(cases, jnp.float32)
-        return jnp.concatenate([counts_f, ids_f, cases_f, tvals])[None]
+        grid = tree.distance(p)  # local slab + one +z halo plane
+        return compact_emit(grid, res, A, V)[None]
 
     return jax.jit(step)
 
@@ -245,6 +202,12 @@ def render_sharded_compact(tree: Shader3D, mesh: Mesh, res: float, size_hint=Non
         nk += n_dev - nk % n_dev
     shape = (nk, ny + 1, nx + 1)
     nz_padded = nk - 1  # decode space includes padded (inactive) slabs
+    from ..ops.compact_field import MAX_CUBES
+
+    if nx * ny * nz_padded >= MAX_CUBES:
+        # global ids (local + d*nk_local*nx*ny) and the decoder's slot map
+        # are int32-bounded, same limit as the single-device builder
+        raise ValueError("grid too large for int32 cube ids")
     origin = _replicated(mesh, bb.min)
     res_dev = _replicated(mesh, res32)
     if size_hint:

@@ -52,6 +52,9 @@ def _dc_edges_fn(tree, shape, a_size, norm_step, device):
     nk, nj, ni = (int(x) for x in shape)
     nz, ny, nx = nk - 1, nj - 1, ni - 1
     nvox = nz * ny * nx
+    if 3 * nvox >= 1 << 31:
+        # edge id packs into bits 0-30 (bit 31 = winding flip) below
+        raise ValueError("grid too large for int32 edge ids (3*nvox >= 2^31)")
     A = int(a_size)
     half = _f32(norm_step) * _f32(0.5)
 

@@ -132,3 +132,70 @@ def test_render_compact_without_native_toolchain(monkeypatch):
     v_np, t_np = FlatRenderer(part, res).render_compact()
     np.testing.assert_array_equal(t_np, t_ref)
     np.testing.assert_array_equal(v_np, v_ref)
+
+
+def _box_payload():
+    """A real compact payload for a box surface, plus its grid dims."""
+    import jax
+
+    from gsdf_tpu.ops.compact_field import compact_field_render
+
+    bld = Builder()
+    part = bld.new_box(1.0, 0.8, 0.6, 0.1)
+    res = np.float32(0.05)
+    fr = FlatRenderer(part, res)
+    nk, nj, ni = fr.nz + 1, fr.ny + 1, fr.nx + 1
+    ids, cases, tvals, _ = compact_field_render(
+        part, fr.origin, res, (nk, nj, ni), jax.devices()[0]
+    )
+    return (
+        np.asarray(ids),
+        np.asarray(cases),
+        np.asarray(tvals),
+        fr.nx,
+        fr.ny,
+        fr.nz,
+        np.asarray(fr.origin, np.float32),
+        np.float32(fr.res),
+    )
+
+
+def test_mc_decode_rejects_out_of_range_ids():
+    """An id past the decode space must raise ValueError on BOTH decode
+    paths — the native decoder bounds-checks in pass 1 instead of writing
+    out of bounds; the numpy fallback checks ids up front."""
+    from gsdf_tpu import native
+    from gsdf_tpu.native import _mc_decode_numpy, mc_decode
+
+    ids, cases, tvals, nx, ny, nz, origin, res = _box_payload()
+    # shrink the decode space: the top slab's ids fall out of range
+    with pytest.raises(ValueError):
+        _mc_decode_numpy(ids, cases, tvals, nx, ny, nz - 1, origin, res)
+    if native.get_lib() is not None:
+        with pytest.raises(ValueError):
+            mc_decode(ids, cases, tvals, nx, ny, nz - 1, origin, res)
+
+
+def test_mc_decode_numpy_rejects_boundary_owner():
+    """Owner-edge references past the grid's max face must raise (so the
+    caller's welded fallback triggers) exactly like the native decoder —
+    never silently clamp back to the referencing cube (a silently corrupt
+    mesh)."""
+    from gsdf_tpu.native import _crossing_bits, _mc_decode_numpy
+
+    ids, cases, tvals, nx, ny, nz, origin, res = _box_payload()
+    # keep a consistent prefix of the payload: all cubes below the top
+    # active slab, with the matching vertex-count prefix of tvals
+    ck = ids.astype(np.int64) // (nx * ny)
+    top = int(ck.max())
+    keep = ck < top
+    n_keep = int(keep.sum())
+    assert 0 < n_keep < len(ids) and bool(keep[:n_keep].all())
+    nv_keep = int(_crossing_bits(cases[:n_keep].astype(np.int32)).sum())
+    # decode space ends exactly at the kept slabs: the top kept slab's
+    # +z owner references land out of range
+    with pytest.raises(ValueError):
+        _mc_decode_numpy(
+            ids[:n_keep], cases[:n_keep], tvals[:nv_keep],
+            nx, ny, top, origin, res,
+        )

@@ -89,3 +89,17 @@ def test_dc_bolt_stl(tmp_path):
     buf.seek(0)
     back = read_binary_stl(buf)
     np.testing.assert_array_equal(tris, back)
+
+
+def test_dc_edge_field_grid_size_guard():
+    """Edge ids pack into bits 0-30 (bit 31 = winding flip): grids with
+    3*nvox >= 2^31 must be rejected, not silently corrupted."""
+    import jax
+    import pytest
+
+    from gsdf_tpu.render.dual_contour import _dc_edges_fn
+
+    bld2 = Builder()
+    s = bld2.new_sphere(1.0)
+    with pytest.raises(ValueError, match="edge ids"):
+        _dc_edges_fn(s, (900, 900, 900), 1024, 0.01, jax.devices()[0])

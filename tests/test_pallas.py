@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from gsdf_tpu import Builder
 from gsdf_tpu.eval import evaluate_grid
@@ -71,3 +72,21 @@ def test_flat_renderer_pallas_backend():
     t_pal = FlatRenderer(s, res, eval_backend="pallas").render(fused=False)
     assert len(t_ref) == len(t_pal)
     np.testing.assert_allclose(t_pal, t_ref, atol=1e-5)
+
+
+def test_atan2_lowerable_signed_zero_seam():
+    """The Cephes atan2 expansion must agree with jnp.arctan2 on the y=0
+    half-plane seam, INCLUDING signed zeros — a sign flip there shifts
+    angle-dependent SDFs (CircularArray, Screw) by 2*pi between the
+    Pallas and XLA backends."""
+    from gsdf_tpu.core.mathx import _atan2_lowerable
+
+    zs = np.float32([0.0, -0.0, 1.0, -1.0, 0.5, -0.5, 3.0, -3.0])
+    y, x = np.meshgrid(zs, zs)
+    y, x = y.ravel(), x.ravel()
+    got = np.asarray(_atan2_lowerable(jnp.asarray(y), jnp.asarray(x)))
+    ref = np.arctan2(y, x)
+    np.testing.assert_allclose(got, ref, atol=2e-7)
+    # seam sign agreement, bit-level: +-0 and +-pi must match exactly
+    seam = (y == 0) | (x == 0)
+    np.testing.assert_array_equal(np.signbit(got[seam]), np.signbit(ref[seam]))

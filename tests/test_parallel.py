@@ -134,3 +134,17 @@ def test_render_sharded_compact_overflow_retry():
     fr = FlatRenderer(part, 0.07, device=devices[0])
     cv, ct = fr.render_compact()
     np.testing.assert_array_equal(st, ct)
+
+
+def test_sharded_compact_grid_size_guard():
+    """Global cube ids are int32-bounded exactly like the single-device
+    builder: oversized grids raise instead of wrapping id arithmetic."""
+    import pytest
+
+    from gsdf_tpu.parallel.sharded import make_mesh, render_sharded_compact
+
+    bld2 = Builder()
+    s = bld2.new_sphere(1.0)
+    mesh = make_mesh(jax.devices()[:2])
+    with pytest.raises(ValueError, match="too large"):
+        render_sharded_compact(s, mesh, 0.0015)
