@@ -127,7 +127,13 @@ def sharded_render_step(tree: Shader3D, mesh: Mesh, shape, max_tris_per_shard: i
     return jax.jit(step)
 
 
-def sharded_compact_step(tree: Shader3D, mesh: Mesh, shape, a_size: int, v_size: int):
+_step_cache: dict = {}
+
+
+def sharded_compact_step(
+    tree: Shader3D, mesh: Mesh, shape, a_size: int, v_size: int,
+    parametric: bool = False,
+):
     """Multi-chip COMPACT-FIELD render step (the production path,
     ops/compact_field.py, sharded): each shard evaluates its z-slab
     (+1 halo plane), classifies, compacts its active cubes and crossing
@@ -145,6 +151,11 @@ def sharded_compact_step(tree: Shader3D, mesh: Mesh, shape, a_size: int, v_size:
     The emit itself is ops/compact_field.compact_emit — the SAME
     implementation the single-device builder compiles, so any epsilon or
     packing change keeps sharded-vs-single bit-exactness by construction.
+
+    parametric=True traces once per tree STRUCTURE and takes the packed
+    continuous-parameter vector as a third (replicated) operand — the
+    single-device zero-recompile editing story (eval/parametric.py),
+    extended to the mesh. Steps are cached per (tree, shape, sizes, mesh).
     """
     from ..ops.compact_field import compact_emit
 
@@ -158,14 +169,18 @@ def sharded_compact_step(tree: Shader3D, mesh: Mesh, shape, a_size: int, v_size:
         raise ValueError("a_size must be a multiple of 4")
     V = int(v_size)
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(), P()),
-        out_specs=P(AXIS, None),
-        check_vma=False,  # see sharded_grid_eval
-    )
-    def step(origin, res):
+    if parametric:
+        from ..eval.parametric import _bind_params, param_spec, structural_hash
+
+        tree.tree_hash()  # pre-cache node hashes before tracer binding
+        key = ("param", structural_hash(tree), tuple(shape), A, V, mesh)
+    else:
+        key = (tree.tree_hash(), tuple(shape), A, V, mesh)
+    cached = _step_cache.get(key)
+    if cached is not None:
+        return cached
+
+    def body(origin, res):
         me = jax.lax.axis_index(AXIS)
         k0 = me * nk_local
         iz = jax.lax.broadcasted_iota(jnp.float32, (nk_local + 1, nj, ni), 0) + k0
@@ -178,13 +193,49 @@ def sharded_compact_step(tree: Shader3D, mesh: Mesh, shape, a_size: int, v_size:
         grid = tree.distance(p)  # local slab + one +z halo plane
         return compact_emit(grid, res, A, V)[None]
 
-    return jax.jit(step)
+    if parametric:
+        spec = param_spec(tree)
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=P(AXIS, None),
+            check_vma=False,  # see sharded_grid_eval
+        )
+        def step(origin, res, flat):
+            with _bind_params(spec, flat):
+                return body(origin, res)
+
+    else:
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=P(AXIS, None),
+            check_vma=False,  # see sharded_grid_eval
+        )
+        def step(origin, res):
+            return body(origin, res)
+
+    jitted = jax.jit(step)
+    _step_cache[key] = jitted
+    return jitted
 
 
-def render_sharded_compact(tree: Shader3D, mesh: Mesh, res: float, size_hint=None):
+def render_sharded_compact(
+    tree: Shader3D, mesh: Mesh, res: float, size_hint=None, parametric=False
+):
     """Multi-chip production render: returns (verts (V,3) f32,
     tri_idx (T,3) i32) — identical arrays to the single-device
-    FlatRenderer.render_compact (same enumeration order)."""
+    FlatRenderer.render_compact (same enumeration order).
+
+    parametric=True compiles per tree STRUCTURE: re-rendering an edited
+    (structurally identical) tree reuses the mesh executable with zero
+    new compiles — the same contract as render_compact(parametric=True),
+    scaled out. Payload-size hints are remembered per structure and only
+    grow, so successive edits don't thrash (a_size, v_size) shapes."""
     import math as _math
 
     from ..native import mc_decode
@@ -210,6 +261,16 @@ def render_sharded_compact(tree: Shader3D, mesh: Mesh, res: float, size_hint=Non
         raise ValueError("grid too large for int32 cube ids")
     origin = _replicated(mesh, bb.min)
     res_dev = _replicated(mesh, res32)
+    if parametric:
+        from ..eval.parametric import pack_params, structural_hash
+
+        hint_key = ("shard-hint", structural_hash(tree), shape, mesh)
+        params = _replicated(mesh, pack_params(tree))
+    else:
+        hint_key = None
+        params = None
+    if size_hint is None and hint_key is not None:
+        size_hint = _step_cache.get(hint_key)
     if size_hint:
         a_size, v_size = size_hint
     else:
@@ -218,8 +279,11 @@ def render_sharded_compact(tree: Shader3D, mesh: Mesh, res: float, size_hint=Non
         a_size = _bucket(min(est, ncubes_local))
         v_size = _bucket(int(a_size * 1.5))
     while True:
-        step = sharded_compact_step(tree, mesh, shape, a_size, v_size)
-        packed = np.ascontiguousarray(np.asarray(step(origin, res_dev)))
+        step = sharded_compact_step(
+            tree, mesh, shape, a_size, v_size, parametric=parametric
+        )
+        args = (origin, res_dev, params) if parametric else (origin, res_dev)
+        packed = np.ascontiguousarray(np.asarray(step(*args)))
         counts = np.ascontiguousarray(packed[:, :2]).view(np.uint32)
         worst_a = int(counts[:, 0].max(initial=0))
         worst_v = int(counts[:, 1].max(initial=0))
@@ -229,6 +293,9 @@ def render_sharded_compact(tree: Shader3D, mesh: Mesh, res: float, size_hint=Non
             a_size = _bucket(worst_a, granule=16384)
         if worst_v > v_size:
             v_size = _bucket(worst_v, granule=16384)
+    if hint_key is not None:
+        # grow-only: successive edits keep one executable per structure
+        _step_cache[hint_key] = (a_size, v_size)
     nk_local = nk // n_dev
     ids_parts, case_parts, t_parts = [], [], []
     for d in range(n_dev):

@@ -103,3 +103,35 @@ def test_rebind_shape_mismatch():
     s = bld.new_sphere(0.5)
     with pytest.raises(ValueError, match="shape"):
         s.rebind({s: {"r": np.zeros(3, np.float32)}})
+
+
+def test_rebind_zero_recompiles_sharded():
+    """Parametric editing composes with the 8-device mesh: a rebind edit
+    re-renders through the SAME sharded executable (zero new steps), and
+    the sharded result still matches the single-device compact render."""
+    import jax
+
+    from gsdf_tpu.core.wrappers import with_bounds
+    from gsdf_tpu.geometry import box3
+    from gsdf_tpu.parallel import sharded
+    from gsdf_tpu.parallel.sharded import make_mesh, render_sharded_compact
+
+    bld = Builder()
+    part, cyl = _part(bld)
+    pinned = with_bounds(part, box3(-1.2, -0.8, -0.9, 1.2, 0.8, 0.9))
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    render_sharded_compact(pinned, mesh, 0.05, parametric=True)
+    _, i0 = render_sharded_compact(pinned, mesh, 0.05, parametric=True)
+    n_exec = sum(1 for k in sharded._step_cache if k and k[0] == "param")
+
+    pinned.rebind({cyl: {"r": 0.35}})  # shrink: sized buffers still fit
+    sv, i1 = render_sharded_compact(pinned, mesh, 0.05, parametric=True)
+    assert len(i1) != len(i0)  # geometry actually changed
+    assert (
+        sum(1 for k in sharded._step_cache if k and k[0] == "param") == n_exec
+    )  # zero new executables
+
+    # and the edited sharded render equals the single-device compact path
+    cv, ct = FlatRenderer(pinned, 0.05, device=jax.devices("cpu")[0]).render_compact()
+    np.testing.assert_array_equal(i1, ct)
+    np.testing.assert_allclose(sv, cv, atol=1e-6)
