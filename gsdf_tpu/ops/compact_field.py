@@ -187,7 +187,7 @@ def build_compact_field(tree, shape, a_size, v_size, device, parametric=False):
 
 
 def compact_field_render(
-    tree, origin, res, shape, device, size_hint=None, parametric=False
+    tree, origin, res, shape, device, size_hint=None, parametric=False, k0=0
 ):
     """One-dispatch, one-fetch minimal-payload render.
 
@@ -195,7 +195,8 @@ def compact_field_render(
     tvals (n_verts,) f32, hint) — the host-side decoder (native.mc_decode)
     turns these into an indexed mesh or STL bytes. Grow-and-retry on
     buffer overflow, remembered hints per tree (the welded path's
-    discipline)."""
+    discipline). k0 offsets the grid's z index (slab dispatch): the
+    returned ids are local to the slab."""
     nk, nj, ni = (int(x) for x in shape)
     ncubes = (nk - 1) * (nj - 1) * (ni - 1)
     if parametric:
@@ -220,9 +221,11 @@ def compact_field_render(
             tree, shape, a_size, v_size, device, parametric=parametric
         )
         if parametric:
-            packed = np.asarray(fn(jnp.asarray(origin), _f32(res), params=params))
+            packed = np.asarray(
+                fn(jnp.asarray(origin), _f32(res), k0=_f32(k0), params=params)
+            )
         else:
-            packed = np.asarray(fn(jnp.asarray(origin), _f32(res)))
+            packed = np.asarray(fn(jnp.asarray(origin), _f32(res), k0=_f32(k0)))
         n_active, n_verts = (int(x) for x in packed[:2].view(np.int32))
         if n_active <= a_size and n_verts <= v_size:
             hint = (
@@ -246,3 +249,48 @@ def compact_field_render(
             a_size = _bucket(n_active, granule=16384)
         if n_verts > v_size:
             v_size = _bucket(n_verts, granule=16384)
+
+
+def compact_field_render_slabbed(
+    tree, origin, res, shape, device, max_points, parametric=False
+):
+    """Compact-field render for grids past the single-dispatch memory gate:
+    the kernel is dispatched per z-slab (k0 offsets, 1-plane overlap) and
+    slab payloads concatenate into EXACTLY the whole-grid payload — the
+    payload-concatenation identity the sharded path relies on
+    (docs/MULTICHIP.md); the reference analogously streams any grid size
+    through fixed buffers (glrender/octreerenderer.go:131-178).
+
+    Returns (ids (A,) uint32 GLOBAL cube ids, cases, tvals, n_points
+    evaluated). One buffer size is used for every slab (grow-only), so all
+    equal-height slabs share one executable.
+    """
+    nk, nj, ni = (int(x) for x in shape)
+    nx, ny, nz = ni - 1, nj - 1, nk - 1
+    if nx * ny * nz >= MAX_CUBES:
+        raise ValueError("grid too large for int32 cube ids")
+    plane = nj * ni
+    n_slabs = max(1, -(-nk * plane // int(max_points)))
+    bounds_k = [nz * s // n_slabs for s in range(n_slabs + 1)]
+    hint = None
+    n_points = 0
+    ids_parts, case_parts, t_parts = [], [], []
+    for s in range(n_slabs):
+        k0, k1 = bounds_k[s], bounds_k[s + 1]
+        if k1 == k0:
+            continue  # more slabs than cube layers (tiny test gates)
+        slab_shape = (k1 - k0 + 1, nj, ni)
+        n_points += slab_shape[0] * plane
+        ids, cases, tvals, hint = compact_field_render(
+            tree, origin, res, slab_shape, device,
+            size_hint=hint, parametric=parametric, k0=k0,
+        )
+        ids_parts.append(ids.astype(np.uint32) + np.uint32(k0 * nx * ny))
+        case_parts.append(cases)
+        t_parts.append(tvals)
+    return (
+        np.concatenate(ids_parts) if ids_parts else np.empty(0, np.uint32),
+        np.concatenate(case_parts) if case_parts else np.empty(0, np.uint8),
+        np.concatenate(t_parts).astype(_f32) if t_parts else np.empty(0, _f32),
+        n_points,
+    )

@@ -155,29 +155,41 @@ class FlatRenderer:
 
         Returns (verts (V,3) f32, tri_idx (T,3) i32) — identical counts
         and connectivity to render_indexed(); vertex coords equal to the
-        last ulp. Falls back to render_indexed() for grids beyond the
-        memory threshold or if an owner reference is unresolvable
-        (non-Lipschitz fields)."""
+        last ulp. Grids past the single-dispatch memory gate dispatch the
+        SAME kernel per z-slab and concatenate payloads (never degrading
+        to the soup path — the reference streams any size through fixed
+        buffers, glrender/octreerenderer.go:131-178); only an
+        unresolvable owner reference (non-Lipschitz fields) or the int32
+        id-space limit falls back to render_indexed()."""
         from ..native import mc_decode
-        from ..ops.compact_field import MAX_CUBES, compact_field_render
+        from ..ops.compact_field import (
+            MAX_CUBES,
+            compact_field_render,
+            compact_field_render_slabbed,
+        )
 
         nk, nj, ni = self.nz + 1, self.ny + 1, self.nx + 1
-        # the compact kernel's live set is ~2 grid-sized arrays (distances
-        # + classification) plus surface-sized compaction buffers, so it
-        # scales far past the triangle-emitting paths' threshold
-        if (
-            self.nx * self.ny * self.nz >= MAX_CUBES
-            or nk * nj * ni > self.compact_cubes
-        ):
+        if self.nx * self.ny * self.nz >= MAX_CUBES:
             return self.render_indexed(parametric=parametric)
-        self._evaluations += nk * nj * ni
-        ids, cases, tvals, self._compact_hint = compact_field_render(
-            self.s, self.origin, self.res, (nk, nj, ni), self.device,
-            size_hint=getattr(self, "_compact_hint", None)
-            if not parametric
-            else None,
-            parametric=parametric,
-        )
+        # the compact kernel's live set is ~2 grid-sized arrays (distances
+        # + classification) plus surface-sized compaction buffers, so one
+        # dispatch scales far past the triangle-emitting paths' threshold;
+        # beyond compact_cubes grid points the same kernel runs per z-slab
+        if nk * nj * ni > self.compact_cubes:
+            ids, cases, tvals, n_pts = compact_field_render_slabbed(
+                self.s, self.origin, self.res, (nk, nj, ni), self.device,
+                self.compact_cubes, parametric=parametric,
+            )
+            self._evaluations += n_pts
+        else:
+            self._evaluations += nk * nj * ni
+            ids, cases, tvals, self._compact_hint = compact_field_render(
+                self.s, self.origin, self.res, (nk, nj, ni), self.device,
+                size_hint=getattr(self, "_compact_hint", None)
+                if not parametric
+                else None,
+                parametric=parametric,
+            )
         try:
             return mc_decode(
                 ids, cases, tvals, self.nx, self.ny, self.nz,

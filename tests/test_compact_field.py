@@ -199,3 +199,47 @@ def test_mc_decode_numpy_rejects_boundary_owner():
             ids[:n_keep], cases[:n_keep], tvals[:nv_keep],
             nx, ny, top, origin, res,
         )
+
+
+def test_slabbed_compact_payload_identity():
+    """Past the memory gate the compact kernel dispatches per z-slab; the
+    concatenated payload must be EXACTLY the whole-grid payload (same
+    identity the sharded path relies on), so the decoded mesh is
+    bit-identical — the path never degrades to the soup/welded paths."""
+    import jax
+
+    from gsdf_tpu.ops.compact_field import (
+        compact_field_render,
+        compact_field_render_slabbed,
+    )
+
+    bld = Builder()
+    part = bld.smooth_union(0.1, bld.new_sphere(0.7), bld.new_torus(0.8, 0.2))
+    res = np.float32(part.bounds().diagonal() / 56)
+    fr = FlatRenderer(part, res)
+    shape = (fr.nz + 1, fr.ny + 1, fr.nx + 1)
+    dev = jax.devices()[0]
+    ids1, cases1, t1, _ = compact_field_render(part, fr.origin, res, shape, dev)
+    # gate small enough to force several slabs
+    max_pts = shape[1] * shape[2] * max(2, shape[0] // 5)
+    ids2, cases2, t2, n_pts = compact_field_render_slabbed(
+        part, fr.origin, res, shape, dev, max_pts
+    )
+    np.testing.assert_array_equal(ids2, ids1)
+    np.testing.assert_array_equal(cases2, cases1)
+    np.testing.assert_array_equal(t2, t1)
+    assert n_pts >= shape[0] * shape[1] * shape[2]  # overlap planes counted
+
+
+def test_render_compact_slabbed_gate():
+    """FlatRenderer.render_compact with a tiny memory gate must produce
+    the identical indexed mesh through the slabbed dispatches."""
+    bld = Builder()
+    part = bld.difference(bld.new_sphere(0.8), bld.new_box(0.5, 0.5, 2.0, 0))
+    res = part.bounds().diagonal() / 48
+    v_ref, t_ref = FlatRenderer(part, res).render_compact()
+    fr = FlatRenderer(part, res)
+    fr.compact_cubes = fr.ny * fr.nx * 4  # force ~nz/3 slabs
+    v_sl, t_sl = fr.render_compact()
+    np.testing.assert_array_equal(t_sl, t_ref)
+    np.testing.assert_array_equal(v_sl, v_ref)
