@@ -41,15 +41,28 @@ def build_flange():
     return bld.scale(union, 25.4)
 
 
+def build_showerhead():
+    import os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "examples"))
+    from fibonacci_showerhead import scene
+
+    from gsdf_tpu import Builder
+
+    return scene(Builder())
+
+
 GOLDEN_FLANGE_TRIS = 423852  # reference README.md:116 / glrender discipline
+GOLDEN_SHOWERHEAD_TRIS = 309872  # reference README.md:152
 
 
-def main():
+def _bench_part(obj, resdiv, golden, repeats):
+    """Median warm SDF->STL wall ms through the compact production path,
+    hard-asserting the golden triangle count."""
     from gsdf_tpu.render.flat import FlatRenderer
     from gsdf_tpu.render.stl import write_binary_stl_indexed
 
-    obj = build_flange()
-    res = obj.bounds().diagonal() / 400
+    res = obj.bounds().diagonal() / resdiv
 
     def run():
         t0 = time.monotonic()
@@ -67,20 +80,37 @@ def main():
     _, ntris = run()
     run()
     # the perf number is also a correctness gate: exact reference count
-    assert ntris == GOLDEN_FLANGE_TRIS, (
-        f"triangle count {ntris} != golden {GOLDEN_FLANGE_TRIS}"
+    assert ntris == golden, f"triangle count {ntris} != golden {golden}"
+    times = [run()[0] for _ in range(repeats)]  # link noise: take the median
+    return statistics.median(times), ntris
+
+
+def main():
+    flange_ms, flange_tris = _bench_part(
+        build_flange(), 400, GOLDEN_FLANGE_TRIS, repeats=7
     )
-    times = [run()[0] for _ in range(7)]  # link latency is noisy; median of 7
-    value = statistics.median(times)
-    baseline_ms = 706.0 + 371.0  # reference RX6800 render + STL write
+    # secondary gate: the other flagship part (deep tree: 130-hole union +
+    # buttress screw + knurl) catches part-specific regressions the flange
+    # can't; reference RX 6800 end-to-end is 701 ms (README.md:152-156)
+    shower_ms, shower_tris = _bench_part(
+        build_showerhead(), 350, GOLDEN_SHOWERHEAD_TRIS, repeats=5
+    )
+    baseline_ms = 706.0 + 371.0  # reference RX6800 flange render + STL write
     print(
         json.dumps(
             {
                 "metric": "npt-flange resdiv400 SDF->STL warm (1 chip)",
-                "value": round(value, 1),
+                "value": round(flange_ms, 1),
                 "unit": "ms",
-                "vs_baseline": round(baseline_ms / value, 2),
-                "triangles": ntris,
+                "vs_baseline": round(baseline_ms / flange_ms, 2),
+                "triangles": flange_tris,
+                "secondary": {
+                    "metric": "fibonacci-showerhead resdiv350 SDF->STL warm",
+                    "value": round(shower_ms, 1),
+                    "unit": "ms",
+                    "vs_baseline": round(701.0 / shower_ms, 2),
+                    "triangles": shower_tris,
+                },
             }
         )
     )
