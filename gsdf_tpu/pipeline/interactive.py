@@ -18,6 +18,8 @@ Controls (matching ui.go's bindings):
 from __future__ import annotations
 
 import math
+import statistics
+import time
 
 import numpy as np
 
@@ -58,6 +60,7 @@ class InteractiveViewer:
         steps: int = 196,
         drag_steps: int = 72,
         aa: int = 2,
+        verbose: bool = False,
     ):
         import jax
 
@@ -70,6 +73,10 @@ class InteractiveViewer:
         #: rest-quality supersampling; drag frames always render aa=1
         #: (the reference UI's AA=3-at-rest / 1-in-motion behavior)
         self.aa = int(aa)
+        #: per-frame wall latency log, keyed 'drag'/'full' — the viewer's
+        #: observability (typical numbers in docs/PERFORMANCE.md)
+        self._frame_ms: dict = {"drag": [], "full": []}
+        self.verbose = bool(verbose)
         self.reset()
         self._dragging = False
         self._last_xy = None
@@ -94,6 +101,7 @@ class InteractiveViewer:
             )
         else:
             w, h, steps, aa = self.width, self.height, self.steps, self.aa
+        t0 = time.monotonic()
         img = raymarch_image(
             self.obj,
             width=w,
@@ -107,7 +115,28 @@ class InteractiveViewer:
         )
         if quality == "drag":
             img = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+        dt = (time.monotonic() - t0) * 1e3
+        key = "drag" if quality == "drag" else "full"
+        self._frame_ms[key].append(dt)
+        if self.verbose:
+            print(f"[{dt:.1f}ms] {key} frame")
         return img
+
+    def frame_stats(self) -> dict:
+        """Per-quality frame latency: {'drag': {'frames', 'median_ms',
+        'fps'}, 'full': {...}} — entries only for qualities rendered.
+        (The first frame of each quality includes compile/cache-load;
+        median is the steady-state number.)"""
+        out = {}
+        for q, ts in self._frame_ms.items():
+            if ts:
+                med = statistics.median(ts)
+                out[q] = {
+                    "frames": len(ts),
+                    "median_ms": med,
+                    "fps": 1e3 / med if med > 0 else float("inf"),
+                }
+        return out
 
     # --- event handlers (wired to matplotlib, callable directly) -------
     def on_press(self, x, y):
@@ -137,21 +166,20 @@ class InteractiveViewer:
         return True
 
     # --- event loop ----------------------------------------------------
-    def show(self):
-        """Open the matplotlib window and run the event loop. Raises
-        RuntimeError when no interactive backend exists (callers fall
-        back to the headless turntable)."""
-        if not has_display():
-            raise RuntimeError(
-                "no interactive matplotlib backend (headless host); "
-                "use pipeline.ui() for a turntable GIF instead"
-            )
+    def _build_figure(self):
+        """Create the figure and wire the event handlers. Backend-agnostic
+        (works on Agg — the event-pump tests drive exactly this wiring);
+        `show()` adds the display gate and blocks on the loop."""
         import matplotlib.pyplot as plt
 
         fig, ax = plt.subplots(figsize=(7, 7))
-        fig.canvas.manager.set_window_title("gsdf_tpu viewer")
+        try:
+            fig.canvas.manager.set_window_title("gsdf_tpu viewer")
+        except Exception:
+            pass  # headless managers may lack a window title
         ax.set_axis_off()
         im = ax.imshow(self.render_current("full"))
+        self._im = im
 
         def redraw(quality):
             im.set_data(self.render_current(quality))
@@ -184,7 +212,27 @@ class InteractiveViewer:
         fig.canvas.mpl_connect("motion_notify_event", move)
         fig.canvas.mpl_connect("scroll_event", scroll)
         fig.canvas.mpl_connect("key_press_event", key)
+        return fig
+
+    def show(self):
+        """Open the matplotlib window and run the event loop. Raises
+        RuntimeError when no interactive backend exists (callers fall
+        back to the headless turntable)."""
+        if not has_display():
+            raise RuntimeError(
+                "no interactive matplotlib backend (headless host); "
+                "use pipeline.ui() for a turntable GIF instead"
+            )
+        import matplotlib.pyplot as plt
+
+        self._build_figure()
         plt.show()
+        if self.verbose:
+            for q, s in self.frame_stats().items():
+                print(
+                    f"[viewer] {q}: {s['frames']} frames, "
+                    f"median {s['median_ms']:.1f}ms ({s['fps']:.1f} fps)"
+                )
 
 
 def interactive_view(obj: Shader3D, width=512, height=512, device=None):

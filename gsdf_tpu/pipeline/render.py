@@ -100,7 +100,7 @@ def render_shader3d(obj: Shader3D, cfg: RenderConfig) -> dict:
     tris = verts[tri_idx]
 
     if cfg.visual_output is not None:
-        from .visual import write_shadertoy_visual
+        from ..visual.shadertoy import write_shadertoy_visual
 
         write_shadertoy_visual(cfg.visual_output, obj)
         log(f"[{_fmt_dur(lap())}] wrote visualization")

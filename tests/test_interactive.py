@@ -58,3 +58,61 @@ def test_auto_relax_detects_warped_trees():
     assert auto_relax(twisted) == 0.6
     screw = threads.screw(bld, 4.0, threads.ISO(d=3.0, p=0.5))
     assert auto_relax(bld.union(plain, screw)) == 0.6
+
+
+def _pump_mouse(canvas, name, x, y, button=1, step=0):
+    """Dispatch a synthetic matplotlib event through the canvas callback
+    registry — the same path a real window takes."""
+    from matplotlib.backend_bases import KeyEvent, MouseEvent
+
+    if name == "key_press_event":
+        ev = KeyEvent(name, canvas, "r", x=x, y=y)
+    else:
+        ev = MouseEvent(name, canvas, x, y, button=button, step=step)
+    canvas.callbacks.process(name, ev)
+
+
+def test_show_wiring_event_pump(monkeypatch):
+    """Drives show()'s actual figure wiring on the Agg canvas: synthetic
+    press/move/release/scroll/key events must orbit the camera, render
+    drag-quality frames while moving and full-quality at rest, and update
+    the image artist — the last untested event-loop lines."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+
+    v = _viewer()
+    fig = v._build_figure()
+    canvas = fig.canvas
+    assert v._frame_ms["full"]  # initial frame rendered at full quality
+    n_full0, n_drag0 = len(v._frame_ms["full"]), len(v._frame_ms["drag"])
+    img0 = np.asarray(v._im.get_array())
+    yaw0 = v.yaw
+
+    # press inside the axes (MouseEvent computes xdata from the layout)
+    w, h = canvas.get_width_height()
+    _pump_mouse(canvas, "button_press_event", w // 2, h // 2)
+    assert v._dragging
+    _pump_mouse(canvas, "motion_notify_event", w // 2 + 15, h // 2 + 5)
+    assert v.yaw != yaw0  # orbit applied
+    assert len(v._frame_ms["drag"]) == n_drag0 + 1  # motion = drag quality
+    _pump_mouse(canvas, "button_release_event", w // 2 + 15, h // 2 + 5)
+    assert not v._dragging
+    assert len(v._frame_ms["full"]) == n_full0 + 1  # rest = full quality
+    assert not np.array_equal(np.asarray(v._im.get_array()), img0)
+
+    # scroll zooms and redraws drag + full
+    d0 = v.cam_dist
+    _pump_mouse(canvas, "scroll_event", w // 2, h // 2, step=2)
+    assert v.cam_dist < d0
+    # 'r' resets the view
+    v.yaw = 9.9
+    _pump_mouse(canvas, "key_press_event", w // 2, h // 2)
+    assert v.yaw == 0.6
+
+    stats = v.frame_stats()
+    assert stats["full"]["frames"] >= 3 and stats["drag"]["frames"] >= 2
+    assert stats["full"]["median_ms"] > 0 and stats["drag"]["fps"] > 0
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
