@@ -44,12 +44,63 @@ MAX_CUBES = 1 << 31  # int32 cube ids
 _cache: dict = {}
 
 
+def _owner_edge_t(v0, vfar):
+    """Interpolation parameter for the 3 low (owner) edges of each cube,
+    with the reference's epsilon rules (mcInterpolate,
+    marchcubes.go:76-98); endpoint snaps are BAKED INTO t (0 or 1) so the
+    host can reconstruct from t alone. v0 (A,1), vfar (A,3) -> (A,3)."""
+    ca = jnp.abs(v0) < _MC_EPS
+    cb = jnp.abs(vfar) < _MC_EPS
+    t = jnp.where(ca & cb, 0.5, (0.0 - v0) / (vfar - v0))
+    t = jnp.where(cb & ~ca, 1.0, t)
+    t = jnp.where(ca & ~cb, 0.0, t)
+    return t
+
+
+def _pack_payload(ids, idx8, valid, t, A, V, n_active):
+    """Shared payload packing: crossing flags from the case byte's sign
+    bits, cube-major t compaction, 4-per-word case packing, bitcast
+    header. n_active is the TRUE dense active count (may exceed A — the
+    caller's grow-and-retry contract depends on reporting it unclamped;
+    `valid` saturates at A and must not be used for the count).
+    Returns the packed 1-D f32 buffer
+    [n_active, n_verts (bitcast i32), ids (A i32),
+     case bytes packed 4/word (A/4), t (V f32)]."""
+
+    # crossing low edges straight from the case byte's sign bits
+    b0 = idx8 & 1
+    cx = b0 != ((idx8 >> 1) & 1)
+    cy = b0 != ((idx8 >> 3) & 1)
+    cz = b0 != ((idx8 >> 4) & 1)
+    crossing = jnp.stack([cx, cy, cz], axis=-1) & valid[:, None]  # (A,3)
+
+    # compact t over crossing edges, cube-major / axis x,y,z order
+    vflags = crossing.reshape(-1)
+    vpos = jnp.cumsum(vflags.astype(jnp.int32)) - 1
+    n_verts = vpos[-1] + 1
+    vdest = jnp.where(vflags, vpos, V)
+    tvals = jnp.zeros((V + 1,), jnp.float32)
+    tvals = tvals.at[vdest].set(t.reshape(-1), mode="drop")[:V]
+
+    ids = jnp.where(valid, ids, 0)
+    # case bytes packed 4 per word, little-endian: the fetched words
+    # view directly as a u8 array on host
+    c4 = jnp.where(valid, idx8, 0).reshape(A // 4, 4)
+    cases = c4[:, 0] | (c4[:, 1] << 8) | (c4[:, 2] << 16) | (c4[:, 3] << 24)
+
+    counts = jnp.stack([n_active, n_verts])
+    counts_f = jax.lax.bitcast_convert_type(counts, jnp.float32)
+    ids_f = jax.lax.bitcast_convert_type(ids, jnp.float32)
+    cases_f = jax.lax.bitcast_convert_type(cases, jnp.float32)
+    return jnp.concatenate([counts_f, ids_f, cases_f, tvals])
+
+
 def compact_emit(grid, res, a_size, v_size):
     """Classify -> compact -> owner-edge-t -> packed buffer. The ONE
     compact-field emit implementation, shared by the single-device builder
-    below and the sharded step (parallel/sharded.py) — the same
-    one-kernel discipline ops/mc_emit.py enforces for the soup path
-    (reference: ONE mcToTriangles, glrender/marchcubes.go:34).
+    below, the sharded step (parallel/sharded.py) and the tile-pruned
+    emit — the same one-kernel discipline ops/mc_emit.py enforces for the
+    soup path (reference: ONE mcToTriangles, glrender/marchcubes.go:34).
 
     grid: (nkg, nj, ni) corner distances; every cube between grid planes
     is classified, so a sharded caller passes its slab plus one +z halo
@@ -79,44 +130,121 @@ def compact_emit(grid, res, a_size, v_size):
     gflat = grid.reshape(-1)
     strides = jnp.asarray(np.array([0, 1, ni, nj * ni], np.int32))
     v4 = gflat[base_lin[:, None] + strides[None, :]]  # (A,4): v0,vx,vy,vz
-    v0 = v4[:, 0:1]
-    vfar = v4[:, 1:]
+    t = _owner_edge_t(v4[:, 0:1], v4[:, 1:])  # (A,3)
+    return _pack_payload(safe, idx8, valid, t, A, V, n_active)
 
-    # crossing low edges straight from the case byte's sign bits
-    b0 = idx8 & 1
-    cx = b0 != ((idx8 >> 1) & 1)
-    cy = b0 != ((idx8 >> 3) & 1)
-    cz = b0 != ((idx8 >> 4) & 1)
-    crossing = jnp.stack([cx, cy, cz], axis=-1) & valid[:, None]  # (A,3)
 
-    # interpolation parameter with the reference's epsilon rules
-    # (mcInterpolate, marchcubes.go:76-98); endpoint snaps are BAKED
-    # INTO t (0 or 1) so the host can reconstruct from t alone
-    ca = jnp.abs(v0) < _MC_EPS
-    cb = jnp.abs(vfar) < _MC_EPS
-    t = jnp.where(ca & cb, 0.5, (0.0 - v0) / (vfar - v0))
-    t = jnp.where(cb & ~ca, 1.0, t)
-    t = jnp.where(ca & ~cb, 0.0, t)  # (A,3)
+def tile_compact_emit(grid, tile_ijk, dims, res, a_size, v_size):
+    """Compact-field emit over a pruned TILE ATLAS — the scaling-path
+    counterpart of `compact_emit` (the reference's octree prune feeds the
+    same mcToTriangles as its flat path, octreerenderer.go:131 ->
+    marchcubes.go:34).
 
-    # compact t over crossing edges, cube-major / axis x,y,z order
-    vflags = crossing.reshape(-1)
-    vpos = jnp.cumsum(vflags.astype(jnp.int32)) - 1
-    n_verts = vpos[-1] + 1
-    vdest = jnp.where(vflags, vpos, V)
-    tvals = jnp.zeros((V + 1,), jnp.float32)
-    tvals = tvals.at[vdest].set(t.reshape(-1), mode="drop")[:V]
+    grid: (T, P, P, P) corner distances of T surviving tiles (P = S+1
+    corner planes, S cubes per tile side); tile_ijk (T,3) int32 [i,j,k]
+    tile coords, -1 padded. dims = (nx, ny, nz) GLOBAL cube counts: cubes
+    past the global grid (partial edge tiles) are masked out and ids are
+    global cube ids, so merged payloads from all tiles are exactly the
+    dense path's payload (sorted by id — `merge_compact_payloads`).
 
-    ids = jnp.where(valid, safe, 0)
-    # case bytes packed 4 per word, little-endian: the fetched words
-    # view directly as a u8 array on host
-    c4 = jnp.where(valid, idx8, 0).reshape(A // 4, 4)
-    cases = c4[:, 0] | (c4[:, 1] << 8) | (c4[:, 2] << 16) | (c4[:, 3] << 24)
+    Returns the same packed buffer layout as `compact_emit` with GLOBAL
+    ids; t-compaction order is batch-local (sorted during the host merge).
+    """
+    T, P = grid.shape[0], grid.shape[1]
+    S = P - 1
+    nx, ny, nz = (int(d) for d in dims)
+    A = int(a_size)
+    V = int(v_size)
 
-    counts = jnp.stack([n_active, n_verts])
-    counts_f = jax.lax.bitcast_convert_type(counts, jnp.float32)
-    ids_f = jax.lax.bitcast_convert_type(ids, jnp.float32)
-    cases_f = jax.lax.bitcast_convert_type(cases, jnp.float32)
-    return jnp.concatenate([counts_f, ids_f, cases_f, tvals])
+    # classification per tile cube, masked to valid tiles AND the global
+    # grid extent (edge tiles overhang when S doesn't divide nx/ny/nz)
+    base = jnp.maximum(tile_ijk, 0) * S  # (T,3) global cube offsets [i,j,k]
+    li = jax.lax.broadcasted_iota(jnp.int32, (T, S, S, S), 3)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (T, S, S, S), 2)
+    lk = jax.lax.broadcasted_iota(jnp.int32, (T, S, S, S), 1)
+    gi = base[:, 0, None, None, None] + li
+    gj = base[:, 1, None, None, None] + lj
+    gk = base[:, 2, None, None, None] + lk
+    in_grid = (
+        (tile_ijk[:, 0] >= 0)[:, None, None, None]
+        & (gi < nx)
+        & (gj < ny)
+        & (gk < nz)
+    )
+    index, active = mc_emit.classify(grid, res, extra_mask=in_grid)
+    n_active = jnp.sum(active.astype(jnp.int32))
+    slot = mc_emit.compact_indices(active.reshape(-1), A)
+    valid = slot >= 0
+    safe = jnp.maximum(slot, 0)
+
+    idx8 = index.reshape(-1)[safe]
+
+    # slot -> (tile, local cube) -> global cube id
+    ci = safe % S
+    cj = (safe // S) % S
+    ck = (safe // (S * S)) % S
+    ct = safe // (S * S * S)
+    tb = jnp.maximum(tile_ijk, 0)[ct]  # (A,3)
+    ids = ((tb[:, 2] * S + ck) * ny + (tb[:, 1] * S + cj)) * nx + (
+        tb[:, 0] * S + ci
+    )
+
+    # corner 0 + the 3 low-edge far corners from the tile atlas
+    base_lin = ct * (P * P * P) + ck * (P * P) + cj * P + ci
+    gflat = grid.reshape(-1)
+    strides = jnp.asarray(np.array([0, 1, P, P * P], np.int32))
+    v4 = gflat[base_lin[:, None] + strides[None, :]]
+    t = _owner_edge_t(v4[:, 0:1], v4[:, 1:])
+    return _pack_payload(ids, idx8, valid, t, A, V, n_active)
+
+
+def merge_compact_payloads(parts):
+    """Merge per-batch compact payloads (GLOBAL ids, batch-local t order)
+    into the dense path's exact payload: ids ascending (= dense cube
+    order), cases aligned, t re-gathered cube-major. Pure numpy, O(A).
+
+    parts: list of (ids u32, cases u8, tvals f32). Returns
+    (ids, cases, tvals)."""
+    if not parts:
+        return (
+            np.empty(0, np.uint32),
+            np.empty(0, np.uint8),
+            np.empty(0, _f32),
+        )
+    ids = np.concatenate([p[0] for p in parts])
+    cases = np.concatenate([p[1] for p in parts])
+    tcat = np.concatenate([p[2] for p in parts])
+
+    # crossing-edge count per cube from the case byte (matches the
+    # device's crossing computation in _pack_payload)
+    b0 = cases & 1
+    cnt = (
+        (b0 != ((cases >> 1) & 1)).astype(np.int64)
+        + (b0 != ((cases >> 3) & 1))
+        + (b0 != ((cases >> 4) & 1))
+    )
+    # each cube's t-slice start within tcat: per-part cumsum, offset by
+    # the part's start in the concatenation
+    ends = np.cumsum(cnt)
+    starts = ends - cnt
+    # per-part rebase: subtract the part-local origin, add the part offset
+    sizes = np.array([len(p[0]) for p in parts])
+    tsizes = np.array([len(p[2]) for p in parts])
+    part_row0 = np.cumsum(sizes) - sizes  # first row of each part
+    part_t0 = np.cumsum(tsizes) - tsizes  # first t of each part
+    row_part = np.repeat(np.arange(len(parts)), sizes)
+    starts = starts - starts[part_row0][row_part] + part_t0[row_part]
+
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    cases = cases[order]
+    cnt_s = cnt[order]
+    src = starts[order]
+    out_end = np.cumsum(cnt_s)
+    out_off = out_end - cnt_s
+    total = int(out_end[-1]) if len(out_end) else 0
+    flat_src = np.repeat(src - out_off, cnt_s) + np.arange(total)
+    return ids, cases, tcat[flat_src].astype(_f32, copy=False)
 
 
 def build_compact_field(tree, shape, a_size, v_size, device, parametric=False):

@@ -75,3 +75,43 @@ def test_pallas_grid_eval_matches():
     g_pallas = np.asarray(evaluate_grid_pallas(s, origin, res, shape, dev))
     g_xla = np.asarray(evaluate_grid(s, origin, res, shape, dev))
     np.testing.assert_allclose(g_pallas, g_xla, atol=1e-6)
+
+
+def test_pruned_compact_payload_matches_dense():
+    """The tile-pruned compact payload must equal the dense compact-field
+    payload exactly (ids, cases, tvals) — merge_compact_payloads restores
+    global cube order; tile survival covers every active cube."""
+    from gsdf_tpu.ops.compact_field import compact_field_render
+    import jax
+
+    s = bld.difference(
+        bld.smooth_union(0.1, bld.new_sphere(0.8), bld.new_box(1.2, 1.2, 0.5, 0.05)),
+        bld.new_cylinder(0.3, 4.0, 0.0),
+    )
+    res = 0.05
+    # tile size 8 does NOT divide this part's grid: edge tiles overhang
+    pr = PrunedRenderer(s, res, tile_size=8, tiles_per_batch=256)
+    ids_p, cases_p, t_p = pr.compact_payload()
+
+    fr = FlatRenderer(s, res)
+    dev = jax.devices()[0]
+    nk, nj, ni = fr.nz + 1, fr.ny + 1, fr.nx + 1
+    ids_d, cases_d, t_d, _ = compact_field_render(
+        s, fr.origin, fr.res, (nk, nj, ni), dev
+    )
+    np.testing.assert_array_equal(ids_p, ids_d)
+    np.testing.assert_array_equal(cases_p, cases_d)
+    np.testing.assert_allclose(t_p, t_d, atol=1e-6)
+    # pruning actually skipped fine evaluations
+    assert pr.total_pruned() > 0
+
+
+def test_pruned_render_compact_mesh():
+    """render_compact: same mesh as the dense production path."""
+    s = bld.smooth_union(0.2, bld.new_sphere(0.6), bld.new_box(1.0, 0.7, 0.4, 0.0))
+    res = 0.04
+    verts_p, tri_p = PrunedRenderer(s, res, tiles_per_batch=128).render_compact()
+    verts_d, tri_d = FlatRenderer(s, res).render_compact()
+    assert len(tri_p) == len(tri_d)
+    np.testing.assert_array_equal(tri_p, tri_d)
+    np.testing.assert_allclose(verts_p, verts_d, atol=1e-6)
