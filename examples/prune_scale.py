@@ -52,18 +52,23 @@ def main():
         )
         ntris_dense = len(tri_idx)
 
-        pr = PrunedRenderer(tree, res)
         pruned_ms, tris = time_med(lambda: PrunedRenderer(tree, res).render())
+
+        pc_ms, (pv, pt) = time_med(
+            lambda: PrunedRenderer(tree, res).render_compact()
+        )
         # fresh renderer per run above; stats from one more run
         pr = PrunedRenderer(tree, res)
-        _ = pr.render()
+        _ = pr.render_compact()
         row = {
             "resdiv": resdiv,
             "grid_cubes": ncubes,
             "triangles": ntris_dense,
             "dense_compact_ms": round(dense_ms, 1),
-            "pruned_ms": round(pruned_ms, 1),
-            "pruned_triangles": len(tris),
+            "pruned_soup_ms": round(pruned_ms, 1),
+            "pruned_compact_ms": round(pc_ms, 1),
+            "pruned_triangles": len(pt),
+            "pruned_soup_triangles": len(tris),
             "pruned_evaluations": pr.evaluations(),
             "pruned_skipped_evals": pr.total_pruned(),
             "prune_rate_pct": round(

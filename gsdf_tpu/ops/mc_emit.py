@@ -112,17 +112,31 @@ def classify(grid, res, extra_mask=None):
     return index, active
 
 
-def compact_indices(mask_flat, size):
+def compact_indices(mask_flat, size, method: str = "searchsorted"):
     """Indices of True entries, -1 padded to `size`, order preserving.
 
-    Implemented as a single-key sort: actives keep their index as the
-    key, inactives get bit 30 set, so ascending order is (actives in
-    original order, then inactives). Measured ~3x faster than the
-    cumsum+scatter formulation on TPU (scatter is input-size-bound and
-    serial; sort is the fastest primitive XLA has for stream
-    compaction). Falls back to scatter for inputs >= 2^30."""
+    method="searchsorted" (default): inclusive cumsum of the mask, then
+    output slot s binary-searches for the first index with csum == s+1 —
+    an O(n) memory-bound pass plus size*log2(n) gathers. Measured
+    fastest: the cumsum runs at HBM bandwidth and the search touches only
+    output-sized data (vs sorting the whole grid).
+
+    method="sort": single-key sort — actives keep their index as the key,
+    inactives get bit 30 set, so ascending order is (actives in original
+    order, then inactives). ~3x faster than the cumsum+scatter
+    formulation (scatter is input-size-bound and serial) but the sort
+    still pays O(n log n) over the whole grid.
+
+    method="scatter": cumsum destinations + drop-mode scatter; used for
+    inputs >= 2^30 where the sort key packing runs out of bits."""
     n = mask_flat.shape[0]
-    if n < (1 << 30):
+    if method == "searchsorted" and n < (1 << 31):
+        csum = jnp.cumsum(mask_flat.astype(jnp.int32))
+        n_active = csum[-1]
+        slots = jnp.arange(1, size + 1, dtype=jnp.int32)
+        found = jnp.searchsorted(csum, slots, side="left").astype(jnp.int32)
+        return jnp.where(slots <= n_active, found, -1)
+    if method != "scatter" and n < (1 << 30):
         idx = jnp.arange(n, dtype=jnp.int32)
         keys = jnp.where(mask_flat, idx, idx | (1 << 30))
         s = jax.lax.sort(keys)

@@ -38,8 +38,14 @@ _f32 = np.float32
 _kernel_cache: dict = {}
 
 
-def _coarse_fn(tree, shape, device):
-    key = ("coarse", tree.tree_hash(), shape, device)
+def _coarse_fn(tree, shape, device, parametric=False):
+    if parametric:
+        from ..eval.parametric import _bind_params, param_spec, structural_hash
+
+        tree.tree_hash()  # pre-cache node hashes before tracer binding
+        key = ("coarse-param", structural_hash(tree), shape, device)
+    else:
+        key = ("coarse", tree.tree_hash(), shape, device)
     fn = _kernel_cache.get(key)
     if fn is None:
         nk, nj, ni = shape
@@ -63,9 +69,28 @@ def _coarse_fn(tree, shape, device):
             keep = jnp.abs(d) < tile * res * _f32(math.sqrt(3) / 2)
             return keep, jnp.sum(keep.astype(jnp.int32))
 
+        if parametric:
+            spec = param_spec(tree)
+
+            def impl_param(origin, res, tile, flat):
+                with _bind_params(spec, flat):
+                    return impl(origin, res, tile)
+
+            jitted_p = jax.jit(impl_param)
+
+            def fn(origin, res, tile, params=None, _j=jitted_p, _dev=device):
+                with jax.default_device(_dev):
+                    return _j(
+                        jax.device_put(origin, _dev), _f32(res), _f32(tile),
+                        jax.device_put(params, _dev),
+                    )
+
+            _kernel_cache[key] = fn
+            return fn
+
         jitted = jax.jit(impl)
 
-        def fn(origin, res, tile, _jitted=jitted, _dev=device):
+        def fn(origin, res, tile, params=None, _jitted=jitted, _dev=device):
             with jax.default_device(_dev):
                 return _jitted(jax.device_put(origin, _dev), _f32(res), _f32(tile))
 
@@ -144,13 +169,25 @@ def _tile_mc_fn(tree, S, n_tiles, a_size, t_size, device):
     return fn
 
 
-def _tile_compact_fn(tree, S, n_tiles, a_size, v_size, dims, device):
+def _tile_compact_fn(tree, S, n_tiles, a_size, v_size, dims, device, parametric=False):
     """Batched per-tile corner eval + compact-field emit (GLOBAL cube ids).
 
     The pruned counterpart of ops.compact_field.build_compact_field: same
     payload layout, same shared emit helpers; merged batch payloads equal
     the dense path's payload exactly (merge_compact_payloads)."""
-    key = ("tilecompact", tree.tree_hash(), S, n_tiles, a_size, v_size, dims, device)
+    if parametric:
+        from ..eval.parametric import _bind_params, param_spec, structural_hash
+
+        tree.tree_hash()  # pre-cache node hashes before tracer binding
+        key = (
+            "tilecompact-param", structural_hash(tree),
+            S, n_tiles, a_size, v_size, dims, device,
+        )
+    else:
+        key = (
+            "tilecompact", tree.tree_hash(),
+            S, n_tiles, a_size, v_size, dims, device,
+        )
     fn = _kernel_cache.get(key)
     if fn is None:
         from ..ops.compact_field import tile_compact_emit
@@ -174,9 +211,30 @@ def _tile_compact_fn(tree, S, n_tiles, a_size, v_size, dims, device):
             grid = tree.distance(p)  # (T,P,P,P) [k,j,i] within tile
             return tile_compact_emit(grid, tile_ijk, dims, res, a_size, v_size)
 
+        if parametric:
+            spec = param_spec(tree)
+
+            def impl_param(tile_ijk, origin, res, flat):
+                with _bind_params(spec, flat):
+                    return impl(tile_ijk, origin, res)
+
+            jitted_p = jax.jit(impl_param)
+
+            def fn(tile_ijk, origin, res, params=None, _j=jitted_p, _dev=device):
+                with jax.default_device(_dev):
+                    return _j(
+                        jax.device_put(tile_ijk, _dev),
+                        jax.device_put(origin, _dev),
+                        _f32(res),
+                        jax.device_put(params, _dev),
+                    )
+
+            _kernel_cache[key] = fn
+            return fn
+
         jitted = jax.jit(impl)
 
-        def fn(tile_ijk, origin, res, _jitted=jitted, _dev=device):
+        def fn(tile_ijk, origin, res, params=None, _jitted=jitted, _dev=device):
             with jax.default_device(_dev):
                 return _jitted(
                     jax.device_put(tile_ijk, _dev),
@@ -231,10 +289,12 @@ class PrunedRenderer:
         TotalPruned*8 omitted evals, octreerenderer.go:66)."""
         return self._total_pruned
 
-    def _prune(self):
+    def _prune(self, parametric=False, params=None):
         shape = (self.tz, self.ty, self.tx)
-        fn = _coarse_fn(self.s, shape, self.device)
-        keep, n_keep = fn(jnp.asarray(self.origin), self.res, float(self.S))
+        fn = _coarse_fn(self.s, shape, self.device, parametric=parametric)
+        keep, n_keep = fn(
+            jnp.asarray(self.origin), self.res, float(self.S), params=params
+        )
         self._evaluations += self.tx * self.ty * self.tz
         keep = np.asarray(keep)
         n_keep = int(n_keep)
@@ -295,24 +355,36 @@ class PrunedRenderer:
             return np.empty((0, 3, 3), _f32)
         return np.concatenate(parts, axis=0)
 
-    def compact_payload(self):
+    def compact_payload(self, parametric=False):
         """Pruned compact-field payload: (ids u32, cases u8, tvals f32),
         bit-identical to the dense path's
         (ops.compact_field.compact_field_render) for 1-Lipschitz fields —
         the tile-survival criterion guarantees every active cube's tile
-        survives, so the merged active set is exactly the dense one."""
+        survives, so the merged active set is exactly the dense one.
+
+        parametric=True compiles per tree STRUCTURE (eval.parametric):
+        edit the tree's continuous parameters and re-render with zero new
+        executables (batch-size buckets recur across edits). The grid
+        stays pinned to construction-time bounds — pin generous bounds
+        (core.wrappers.with_bounds) before editing."""
         from ..ops.compact_field import MAX_CUBES, merge_compact_payloads
         from ..ops.mc_emit import bucket as _bk
 
         if self.nx * self.ny * self.nz >= MAX_CUBES:
             raise ValueError("grid too large for int32 cube ids")
-        tiles = self._prune()
+        if parametric:
+            from ..eval.parametric import pack_params, structural_hash
+
+            params = jnp.asarray(pack_params(self.s))
+            hkey = ("chints-param", structural_hash(self.s), float(self.res))
+        else:
+            params = None
+            hkey = ("chints", self.s.tree_hash(), float(self.res))
+        tiles = self._prune(parametric=parametric, params=params)
         dims = (self.nx, self.ny, self.nz)
         P3 = (self.S + 1) ** 3
         parts = []
-        hints = _kernel_cache.setdefault(
-            ("chints", self.s.tree_hash(), float(self.res)), {}
-        )
+        hints = _kernel_cache.setdefault(hkey, {})
         for start in range(0, len(tiles), self.tiles_per_batch):
             batch = tiles[start : start + self.tiles_per_batch]
             nb = _bucket(len(batch), minimum=64, granule=self.tiles_per_batch)
@@ -328,10 +400,14 @@ class PrunedRenderer:
                 v_size = _bk(a_size * 2, minimum=4096)
             while True:
                 fn = _tile_compact_fn(
-                    self.s, self.S, nb, a_size, v_size, dims, self.device
+                    self.s, self.S, nb, a_size, v_size, dims, self.device,
+                    parametric=parametric,
                 )
                 packed = np.asarray(
-                    fn(jnp.asarray(batch), jnp.asarray(self.origin), self.res)
+                    fn(
+                        jnp.asarray(batch), jnp.asarray(self.origin), self.res,
+                        params=params,
+                    )
                 )
                 n_active, n_verts = (int(x) for x in packed[:2].view(np.int32))
                 if n_active <= a_size and n_verts <= v_size:
@@ -363,16 +439,17 @@ class PrunedRenderer:
             )
         return merge_compact_payloads(parts)
 
-    def render_compact(self):
+    def render_compact(self, parametric=False):
         """Pruned compact-field render to an indexed mesh (verts, tri_idx)
         — the scaling production path: fine evaluation only touches
         surviving tiles (the reference's 95.7% prune headline,
         README.md:116) while the payload and decode are exactly the dense
         compact path's. Falls back to the dense welded path only on an
-        unresolvable owner reference (non-Lipschitz fields)."""
+        unresolvable owner reference (non-Lipschitz fields).
+        parametric=True: see compact_payload."""
         from ..native import mc_decode
 
-        ids, cases, tvals = self.compact_payload()
+        ids, cases, tvals = self.compact_payload(parametric=parametric)
         try:
             return mc_decode(
                 ids, cases, tvals, self.nx, self.ny, self.nz,

@@ -135,3 +135,42 @@ def test_rebind_zero_recompiles_sharded():
     cv, ct = FlatRenderer(pinned, 0.05, device=jax.devices("cpu")[0]).render_compact()
     np.testing.assert_array_equal(i1, ct)
     np.testing.assert_allclose(sv, cv, atol=1e-6)
+
+
+def test_rebind_zero_recompiles_pruned_compact():
+    """Parametric editing composes with the tile-pruned compact path: an
+    edit re-renders through the SAME coarse + tile executables (zero new
+    kernels as long as batch-size buckets recur) and still matches the
+    dense compact render."""
+    from gsdf_tpu.core.wrappers import with_bounds
+    from gsdf_tpu.geometry import box3
+    from gsdf_tpu.render import pruned as pruned_mod
+    from gsdf_tpu.render.pruned import PrunedRenderer
+
+    bld = Builder()
+    part, cyl = _part(bld)
+    pinned = with_bounds(part, box3(-1.2, -0.8, -0.9, 1.2, 0.8, 0.9))
+    pr = PrunedRenderer(pinned, 0.05, tiles_per_batch=512)
+    pr.render_compact(parametric=True)
+    _, i0 = pr.render_compact(parametric=True)  # steady state
+    n_exec = sum(
+        1
+        for k in pruned_mod._kernel_cache
+        if k and isinstance(k[0], str) and k[0].endswith("-param")
+    )
+
+    pinned.rebind({cyl: {"r": 0.35}})  # shrink: sized buffers still fit
+    _, i1 = pr.render_compact(parametric=True)
+    assert len(i1) != len(i0)  # geometry actually changed
+    assert (
+        sum(
+            1
+            for k in pruned_mod._kernel_cache
+            if k and isinstance(k[0], str) and k[0].endswith("-param")
+        )
+        == n_exec
+    )  # zero new executables
+
+    # the edited pruned render equals the dense compact path
+    _, ct = FlatRenderer(pinned, 0.05).render_compact()
+    np.testing.assert_array_equal(i1, ct)
