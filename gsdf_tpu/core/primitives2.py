@@ -282,8 +282,25 @@ class Ellipse2D(Shader2D):
         co_b = (ry_b / jnp.sqrt(jnp.maximum(rm - rx_b, 1e-38)) + 2 * g / rm - m) / _f32(2)
 
         co = jnp.where(d < 0, co_a, co_b)
+        co = jnp.clip(co, 0.0, 1.0)
+        si = jnp.sqrt(jnp.maximum(1 - co * co, 0.0))
+        # one trig-free Newton polish on the closest-point angle
+        # (co, si) = (cos t, sin t): t <- t - g/g' where g = dD/dt of the
+        # squared distance. The closed form above is exact in reals but
+        # TPU transcendental rounding (acos/cbrt are polynomial
+        # approximations) costs up to ~4e-4 near the boundary; the polish
+        # restores float32-limited accuracy on every backend.
+        gg = (b * b - a * a) * si * co + a * sx * si - b * sy * co
+        gp = (b * b - a * a) * (co * co - si * si) + a * sx * co + b * sy * si
+        delta = jnp.where(jnp.abs(gp) > _f32(1e-30), gg / gp, 0.0)
+        delta = jnp.clip(delta, -0.5, 0.5)
+        c_new = co + delta * si
+        s_new = si - delta * co
+        inv = _f32(1.0) / mx.hypot(c_new, s_new)
+        co = jnp.clip(c_new * inv, 0.0, 1.0)
+        si = jnp.sqrt(jnp.maximum(1 - co * co, 0.0))
         rx = a * co
-        ry = b * jnp.sqrt(jnp.maximum(1 - co * co, 0.0))
+        ry = b * si
         return mx.hypot(rx - sx, ry - sy) * mx.sign(sy - ry)
 
     def bounds(self) -> Box:
