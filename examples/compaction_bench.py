@@ -30,12 +30,25 @@ def main():
     from gsdf_tpu.ops import mc_emit
 
     dev = jax.devices()[0]
-    rng = np.random.default_rng(3)
     for n in (6_700_000, 53_000_000):
-        mask = rng.random(n) < 0.03
+        # realistic mask: a surface shell (MC active masks are coherent
+        # runs along x, NOT random points — block compaction exploits it)
+        side = round(n ** (1 / 3))
+        ax = np.arange(side, dtype=np.float32) - side / 2
+        r2 = (
+            ax[:, None, None] ** 2 + ax[None, :, None] ** 2 + ax[None, None, :] ** 2
+        )
+        mask = np.abs(np.sqrt(r2) - side * 0.38) < 0.9
+        mask = mask.reshape(-1)
+        mask = mask[: mask.size - mask.size % 8]
+        n = mask.size
         size = mc_emit.bucket(int(mask.sum()))
         mask_d = jax.device_put(jnp.asarray(mask), dev)
-        for method in ("searchsorted", "sort", "scatter"):
+        print(
+            f"surface mask: n={n:,} active={int(mask.sum()):,} "
+            f"active blocks(8)={int(mask.reshape(-1, 8).any(1).sum()):,}"
+        )
+        for method in ("sort", "sort-flat", "searchsorted", "scatter"):
             f = jax.jit(
                 lambda m, _meth=method: mc_emit.compact_indices(m, size, _meth)[
                     -1

@@ -24,13 +24,16 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from bench import build_flange  # noqa: E402
 
 
-def time_med(fn, repeats=3):
+def time_med(fn, repeats=3, label=""):
+    t0 = time.monotonic()
     fn()  # warm (compile or cache load)
+    print(f"  [{label}] warm-up {time.monotonic()-t0:.1f}s", flush=True)
     times = []
     for _ in range(repeats):
         t0 = time.monotonic()
         out = fn()
         times.append(time.monotonic() - t0)
+    print(f"  [{label}] median {statistics.median(times)*1e3:.1f}ms", flush=True)
     return statistics.median(times) * 1e3, out
 
 
@@ -48,14 +51,19 @@ def main():
         fr = FlatRenderer(tree, res)
         ncubes = fr.nx * fr.ny * fr.nz
         dense_ms, (verts, tri_idx) = time_med(
-            lambda: FlatRenderer(tree, res).render_compact()
+            lambda: FlatRenderer(tree, res).render_compact(),
+            label=f"dense-compact {resdiv}",
         )
         ntris_dense = len(tri_idx)
 
-        pruned_ms, tris = time_med(lambda: PrunedRenderer(tree, res).render())
-
         pc_ms, (pv, pt) = time_med(
-            lambda: PrunedRenderer(tree, res).render_compact()
+            lambda: PrunedRenderer(tree, res).render_compact(),
+            label=f"pruned-compact {resdiv}",
+        )
+
+        pruned_ms, tris = time_med(
+            lambda: PrunedRenderer(tree, res).render(),
+            label=f"pruned-soup {resdiv}",
         )
         # fresh renderer per run above; stats from one more run
         pr = PrunedRenderer(tree, res)

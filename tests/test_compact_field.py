@@ -243,3 +243,29 @@ def test_render_compact_slabbed_gate():
     v_sl, t_sl = fr.render_compact()
     np.testing.assert_array_equal(t_sl, t_ref)
     np.testing.assert_array_equal(v_sl, v_ref)
+
+
+def test_compact_indices_hierarchical():
+    """The hierarchical (block) compaction path must agree with a numpy
+    reference exactly, including overflow truncation and -1 padding."""
+    import jax.numpy as jnp
+
+    from gsdf_tpu.ops.mc_emit import compact_indices
+
+    rng = np.random.default_rng(0)
+    cases = [
+        (4_200_000, 0.02, 131072),  # hier path (n > 2^21, 16*size < n)
+        (4_200_001, 0.001, 16384),  # non-multiple-of-8 length
+        (3_000_000, 0.02, 32768),  # overflow: n_active > size
+    ]
+    for n, frac, size in cases:
+        mask = rng.random(n) < frac
+        ref = np.full(size, -1, np.int32)
+        idx = np.flatnonzero(mask)[:size]
+        ref[: len(idx)] = idx
+        got = np.asarray(compact_indices(jnp.asarray(mask), size))
+        np.testing.assert_array_equal(got, ref)
+        flat = np.asarray(
+            compact_indices(jnp.asarray(mask), size, method="sort-flat")
+        )
+        np.testing.assert_array_equal(flat, ref)
