@@ -73,7 +73,12 @@ class OpUnion(Shader3D):
                     return jnp.minimum(carry, _child.distance(p - off)), None
 
                 init = jnp.full(p.shape[:-1], mx.LARGENUM, dtype=jnp.float32)
-                dg, _ = mx.scan_fold(body, init, offsets)
+                # unroll=1: unrolling the subtree body changes XLA's fusion
+                # contraction (1-ulp drift vs the sequential reduction,
+                # breaking the scan==sequential bit-exact guarantee) and
+                # measured only noise-level end-to-end gain on the
+                # showerhead (eval is a minor term at render resolutions)
+                dg, _ = mx.scan_fold(body, init, offsets, unroll=1)
                 d = dg if d is None else jnp.minimum(d, dg)
             else:
                 ordered.extend(nodes)
