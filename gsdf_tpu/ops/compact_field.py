@@ -10,11 +10,21 @@ marchcubes.go:34) while keeping everything O(grid) on device:
 device (ONE dispatch, ONE fetch):
   grid eval -> classification -> active-cube compaction ->
   per-owner-edge interpolation parameter t -> packed buffer
-    [n_active, n_verts,
-     ids   (A i32): active cube linear ids,
-     cases (A/4 words): case bytes packed 4 per word (little-endian,
-                        so the fetched buffer views directly as u8),
-     t     (V f32): compacted crossing-edge parameters]
+    [n_active, n_verts, n_exc, version,
+     deltas (A/4 words): cube-id DELTAS as u8, 4 per word (active ids
+            are ascending; surface runs make most deltas tiny — 255 is
+            an escape marker resolved through the exception table),
+     cases  (A/4 words): case bytes packed 4 per word (little-endian,
+                         so the fetched buffer views directly as u8),
+     exc_pos (E i32), exc_delta (E i32): rows whose delta >= 255,
+     t      (V f32): compacted crossing-edge parameters]
+
+The delta encoding shrinks the id stream 4x losslessly (1 B/cube + a
+small exception table instead of 4 B/cube): on the tunneled ~45 MB/s
+link that is ~10 ms on the flange and ~40 ms at resdiv 1000. The
+host-side unpack is one numpy cumsum (unpack_compact_payload). The
+tile-atlas emit (tile_compact_emit) keeps full i32 ids: its batch
+order is tile-major, not id-ascending, so deltas don't compress.
 
 host (native C++, numpy fallback):
   decode ids/cases -> reconstruct vertex coordinates from (cube id, axis, t)
@@ -24,7 +34,7 @@ host (native C++, numpy fallback):
 Everything the table walk needs is sign-derived (the case byte), so
 triangle count/order/connectivity are bit-identical to the welded
 device path; vertex coordinates match to the last ulp. Payload is
-~8 B/vertex + 5 B/active-cube ≈ 2 MB on the flange (vs 6 MB welded,
+~4 B/vertex (t) + 2 B/cube (delta+case) ≈ 1.3 MB on the flange (vs 6 MB welded,
 16.5 MB soup). Cube ids are full int32: any grid to 2^31 cubes works
 (the welded fallback only covers renderer memory limits).
 """
@@ -57,45 +67,120 @@ def _owner_edge_t(v0, vfar):
     return t
 
 
-def _pack_payload(ids, idx8, valid, t, A, V, n_active):
-    """Shared payload packing: crossing flags from the case byte's sign
-    bits, cube-major t compaction, 4-per-word case packing, bitcast
-    header. n_active is the TRUE dense active count (may exceed A — the
-    caller's grow-and-retry contract depends on reporting it unclamped;
-    `valid` saturates at A and must not be used for the count).
-    Returns the packed 1-D f32 buffer
-    [n_active, n_verts (bitcast i32), ids (A i32),
-     case bytes packed 4/word (A/4), t (V f32)]."""
-
-    # crossing low edges straight from the case byte's sign bits
+def _crossing_t(idx8, valid, t, V):
+    """Crossing flags from the case byte's sign bits + cube-major t
+    compaction. Returns (n_verts, tvals (V,))."""
     b0 = idx8 & 1
     cx = b0 != ((idx8 >> 1) & 1)
     cy = b0 != ((idx8 >> 3) & 1)
     cz = b0 != ((idx8 >> 4) & 1)
     crossing = jnp.stack([cx, cy, cz], axis=-1) & valid[:, None]  # (A,3)
 
-    # compact t over crossing edges, cube-major / axis x,y,z order
     vflags = crossing.reshape(-1)
     vpos = jnp.cumsum(vflags.astype(jnp.int32)) - 1
     n_verts = vpos[-1] + 1
     vdest = jnp.where(vflags, vpos, V)
     tvals = jnp.zeros((V + 1,), jnp.float32)
     tvals = tvals.at[vdest].set(t.reshape(-1), mode="drop")[:V]
+    return n_verts, tvals
+
+
+def _pack_u8(vals, valid, A):
+    """u8 values packed 4 per word, little-endian: the fetched words view
+    directly as a u8 array on host."""
+    v4 = jnp.where(valid, vals, 0).reshape(A // 4, 4)
+    return v4[:, 0] | (v4[:, 1] << 8) | (v4[:, 2] << 16) | (v4[:, 3] << 24)
+
+
+def _pack_payload(ids, idx8, valid, t, A, E, V, n_active):
+    """Shared payload packing for the PRODUCTION (id-ascending) emit:
+    cube ids are delta-encoded to u8 with an i32 exception table (rows
+    whose delta >= 255 store the 255 escape marker; the true delta goes
+    to the table). n_active/n_exc are the TRUE counts (may exceed A/E —
+    the caller's grow-and-retry contract depends on reporting them
+    unclamped; `valid` saturates at A and must not be used for counts).
+    Returns the packed 1-D f32 buffer
+    [n_active, n_verts, n_exc, version (bitcast i32),
+     id deltas u8 packed 4/word (A/4), case bytes packed 4/word (A/4),
+     exc_pos (E i32), exc_delta (E i32), t (V f32)]."""
+    n_verts, tvals = _crossing_t(idx8, valid, t, V)
 
     ids = jnp.where(valid, ids, 0)
-    # case bytes packed 4 per word, little-endian: the fetched words
-    # view directly as a u8 array on host
-    c4 = jnp.where(valid, idx8, 0).reshape(A // 4, 4)
-    cases = c4[:, 0] | (c4[:, 1] << 8) | (c4[:, 2] << 16) | (c4[:, 3] << 24)
+    prev = jnp.concatenate([jnp.zeros((1,), ids.dtype), ids[:-1]])
+    delta = jnp.where(valid, ids - prev, 0)  # valid is a prefix mask
+    esc = valid & (delta >= 255)
+    n_exc = jnp.sum(esc.astype(jnp.int32))
+    deltas = _pack_u8(jnp.where(esc, 255, delta), valid, A)
+    cases = _pack_u8(idx8, valid, A)
 
+    pos = mc_emit.compact_indices(esc, E)
+    evalid = pos >= 0
+    psafe = jnp.maximum(pos, 0)
+    exc_pos = jnp.where(evalid, psafe, 0).astype(jnp.int32)
+    exc_delta = jnp.where(evalid, delta[psafe], 0).astype(jnp.int32)
+
+    counts = jnp.stack(
+        [n_active, n_verts, n_exc, jnp.asarray(2, n_active.dtype)]
+    )
+    return jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(counts, jnp.float32),
+            jax.lax.bitcast_convert_type(deltas, jnp.float32),
+            jax.lax.bitcast_convert_type(cases, jnp.float32),
+            jax.lax.bitcast_convert_type(exc_pos, jnp.float32),
+            jax.lax.bitcast_convert_type(exc_delta, jnp.float32),
+            tvals,
+        ]
+    )
+
+
+def unpack_compact_payload(packed, a_size, e_size):
+    """Host-side unpack of the v2 buffer -> (ids u32, cases u8,
+    tvals f32, (n_active, n_verts, n_exc)). ids are reconstructed with
+    one cumsum over the patched delta stream — bit-identical to the
+    pre-delta ids (lossless encoding). Counts may exceed a_size/e_size
+    (overflow): rows are then truncated and the caller must retry."""
+    packed = np.ascontiguousarray(packed)
+    A, E = int(a_size), int(e_size)
+    hdr = packed[:4].view(np.int32)
+    na, nv, ne = int(hdr[0]), int(hdr[1]), int(hdr[2])
+    na_c, ne_c = min(na, A), min(ne, E)
+    off = 4
+    d8 = packed[off : off + A // 4].view(np.uint8)[:na_c]
+    off += A // 4
+    cases = packed[off : off + A // 4].view(np.uint8)[:na_c]
+    off += A // 4
+    exc_pos = packed[off : off + E].view(np.int32)[:ne_c]
+    off += E
+    exc_delta = packed[off : off + E].view(np.int32)[:ne_c]
+    off += E
+    tvals = packed[off : off + nv]
+    deltas = d8.astype(np.int64)
+    deltas[exc_pos] = exc_delta
+    ids = np.cumsum(deltas).astype(np.uint32)
+    return ids, cases, tvals, (na, nv, ne)
+
+
+def _pack_payload_full_ids(ids, idx8, valid, t, A, V, n_active):
+    """v1 packing with full i32 ids — used by the tile-atlas emit, whose
+    batch order is tile-major (ids not ascending; deltas don't compress).
+    Layout: [n_active, n_verts (bitcast i32), ids (A i32),
+    case bytes packed 4/word (A/4), t (V f32)]."""
+    n_verts, tvals = _crossing_t(idx8, valid, t, V)
+    ids = jnp.where(valid, ids, 0)
+    cases = _pack_u8(idx8, valid, A)
     counts = jnp.stack([n_active, n_verts])
-    counts_f = jax.lax.bitcast_convert_type(counts, jnp.float32)
-    ids_f = jax.lax.bitcast_convert_type(ids, jnp.float32)
-    cases_f = jax.lax.bitcast_convert_type(cases, jnp.float32)
-    return jnp.concatenate([counts_f, ids_f, cases_f, tvals])
+    return jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(counts, jnp.float32),
+            jax.lax.bitcast_convert_type(ids, jnp.float32),
+            jax.lax.bitcast_convert_type(cases, jnp.float32),
+            tvals,
+        ]
+    )
 
 
-def compact_emit(grid, res, a_size, v_size):
+def compact_emit(grid, res, a_size, e_size, v_size):
     """Classify -> compact -> owner-edge-t -> packed buffer. The ONE
     compact-field emit implementation, shared by the single-device builder
     below, the sharded step (parallel/sharded.py) and the tile-pruned
@@ -104,13 +189,13 @@ def compact_emit(grid, res, a_size, v_size):
 
     grid: (nkg, nj, ni) corner distances; every cube between grid planes
     is classified, so a sharded caller passes its slab plus one +z halo
-    plane. Returns the packed 1-D f32 buffer
-    [n_active, n_verts (bitcast i32), ids (a_size i32, slab-local),
-     case bytes packed 4/word (a_size/4), t (v_size f32)].
+    plane. Returns the v2 packed 1-D f32 buffer (delta-encoded slab-local
+    ids — see the module docstring / unpack_compact_payload).
     """
     nkg, nj, ni = grid.shape
     nx, ny = ni - 1, nj - 1
     A = int(a_size)
+    E = int(e_size)
     V = int(v_size)
 
     index, active = mc_emit.classify(grid, res)
@@ -131,7 +216,7 @@ def compact_emit(grid, res, a_size, v_size):
     strides = jnp.asarray(np.array([0, 1, ni, nj * ni], np.int32))
     v4 = gflat[base_lin[:, None] + strides[None, :]]  # (A,4): v0,vx,vy,vz
     t = _owner_edge_t(v4[:, 0:1], v4[:, 1:])  # (A,3)
-    return _pack_payload(safe, idx8, valid, t, A, V, n_active)
+    return _pack_payload(safe, idx8, valid, t, A, E, V, n_active)
 
 
 def tile_compact_emit(grid, tile_ijk, dims, res, a_size, v_size):
@@ -195,7 +280,7 @@ def tile_compact_emit(grid, tile_ijk, dims, res, a_size, v_size):
     strides = jnp.asarray(np.array([0, 1, P, P * P], np.int32))
     v4 = gflat[base_lin[:, None] + strides[None, :]]
     t = _owner_edge_t(v4[:, 0:1], v4[:, 1:])
-    return _pack_payload(ids, idx8, valid, t, A, V, n_active)
+    return _pack_payload_full_ids(ids, idx8, valid, t, A, V, n_active)
 
 
 def merge_compact_payloads(parts):
@@ -247,18 +332,23 @@ def merge_compact_payloads(parts):
     return ids, cases, tcat[flat_src].astype(_f32, copy=False)
 
 
-def build_compact_field(tree, shape, a_size, v_size, device, parametric=False):
-    """Compiled (origin, res, k0[, params]) -> packed 1-D f32 buffer:
-    2 bitcast counts [n_active, n_verts], a_size id words, a_size/4 packed
-    case words, v_size t floats. a_size must be a multiple of 4.
+def build_compact_field(
+    tree, shape, a_size, e_size, v_size, device, parametric=False
+):
+    """Compiled (origin, res, k0[, params]) -> v2 packed 1-D f32 buffer
+    (payload_words(a_size, e_size, v_size) floats; see module docstring).
+    a_size must be a multiple of 4.
     """
     if parametric:
         from ..eval.parametric import _bind_params, param_spec, structural_hash
 
         tree.tree_hash()  # pre-cache node hashes before tracer binding
-        key = ("param", structural_hash(tree), tuple(shape), a_size, v_size, device)
+        key = (
+            "param", structural_hash(tree), tuple(shape),
+            a_size, e_size, v_size, device,
+        )
     else:
-        key = (tree.tree_hash(), tuple(shape), a_size, v_size, device)
+        key = (tree.tree_hash(), tuple(shape), a_size, e_size, v_size, device)
     fn = _cache.get(key)
     if fn is not None:
         return fn
@@ -270,6 +360,7 @@ def build_compact_field(tree, shape, a_size, v_size, device, parametric=False):
     A = int(a_size)
     if A % 4:
         raise ValueError("a_size must be a multiple of 4")
+    E = int(e_size)
     V = int(v_size)
 
     def impl(origin, res, k0):
@@ -281,7 +372,7 @@ def build_compact_field(tree, shape, a_size, v_size, device, parametric=False):
             axis=-1,
         )
         grid = tree.distance(p)
-        return compact_emit(grid, res, A, V)
+        return compact_emit(grid, res, A, E, V)
 
     if parametric:
         spec = param_spec(tree)
@@ -338,15 +429,16 @@ def compact_field_render(
     if size_hint is None:
         size_hint = _cache.get(hint_key)
     if size_hint:
-        a_size, v_size = size_hint
+        a_size, v_size, e_size = size_hint
     else:
         est = int(12 * ncubes ** (2 / 3)) + 4096
         a_size = _bucket(min(est, ncubes))
         v_size = _bucket(int(a_size * 1.5))
+        e_size = _bucket(max(4096, a_size // 8), granule=4096)
     origin = np.asarray(origin, _f32)
     while True:
         fn = build_compact_field(
-            tree, shape, a_size, v_size, device, parametric=parametric
+            tree, shape, a_size, e_size, v_size, device, parametric=parametric
         )
         if parametric:
             packed = np.asarray(
@@ -354,29 +446,27 @@ def compact_field_render(
             )
         else:
             packed = np.asarray(fn(jnp.asarray(origin), _f32(res), k0=_f32(k0)))
-        n_active, n_verts = (int(x) for x in packed[:2].view(np.int32))
-        if n_active <= a_size and n_verts <= v_size:
+        ids, cases, tvals, (n_active, n_verts, n_exc) = unpack_compact_payload(
+            packed, a_size, e_size
+        )
+        if n_active <= a_size and n_verts <= v_size and n_exc <= e_size:
             hint = (
                 _bucket(n_active, granule=16384),
                 _bucket(n_verts, granule=16384),
+                _bucket(max(4096, n_exc), granule=4096),
             )
             if parametric:
                 prev = _cache.get(hint_key)
                 if prev:
                     hint = tuple(max(a, b) for a, b in zip(hint, prev))
             _cache[hint_key] = hint
-            ids = packed[2 : 2 + n_active].view(np.uint32)
-            cases = packed[2 + a_size : 2 + a_size + a_size // 4].view(
-                np.uint8
-            )[:n_active]
-            tvals = packed[
-                2 + a_size + a_size // 4 : 2 + a_size + a_size // 4 + n_verts
-            ]
             return ids, cases, tvals, hint
         if n_active > a_size:
             a_size = _bucket(n_active, granule=16384)
         if n_verts > v_size:
             v_size = _bucket(n_verts, granule=16384)
+        if n_exc > e_size:
+            e_size = _bucket(n_exc, granule=4096)
 
 
 def compact_field_render_slabbed(

@@ -132,13 +132,13 @@ _step_cache: dict = {}
 
 def sharded_compact_step(
     tree: Shader3D, mesh: Mesh, shape, a_size: int, v_size: int,
-    parametric: bool = False,
+    e_size: int = 8192, parametric: bool = False,
 ):
     """Multi-chip COMPACT-FIELD render step (the production path,
     ops/compact_field.py, sharded): each shard evaluates its z-slab
     (+1 halo plane), classifies, compacts its active cubes and crossing
-    owner-edge interpolation parameters, and emits one packed buffer
-    [n_active, n_verts, ids (a_size), packed case bytes (a_size/4), t (v_size)].
+    owner-edge interpolation parameters, and emits one v2 packed buffer
+    (delta-encoded ids — ops/compact_field.py module docstring).
 
     Cube ids are LOCAL to the slab; global id = local + k0*nx*ny, and
     slab order equals global z-order, so the host-side concatenation of
@@ -167,15 +167,16 @@ def sharded_compact_step(
     A = int(a_size)
     if A % 4:
         raise ValueError("a_size must be a multiple of 4")
+    E = int(e_size)
     V = int(v_size)
 
     if parametric:
         from ..eval.parametric import _bind_params, param_spec, structural_hash
 
         tree.tree_hash()  # pre-cache node hashes before tracer binding
-        key = ("param", structural_hash(tree), tuple(shape), A, V, mesh)
+        key = ("param", structural_hash(tree), tuple(shape), A, E, V, mesh)
     else:
-        key = (tree.tree_hash(), tuple(shape), A, V, mesh)
+        key = (tree.tree_hash(), tuple(shape), A, E, V, mesh)
     cached = _step_cache.get(key)
     if cached is not None:
         return cached
@@ -191,7 +192,7 @@ def sharded_compact_step(
             axis=-1,
         )
         grid = tree.distance(p)  # local slab + one +z halo plane
-        return compact_emit(grid, res, A, V)[None]
+        return compact_emit(grid, res, A, E, V)[None]
 
     if parametric:
         spec = param_spec(tree)
@@ -272,45 +273,46 @@ def render_sharded_compact(
     if size_hint is None and hint_key is not None:
         size_hint = _step_cache.get(hint_key)
     if size_hint:
-        a_size, v_size = size_hint
+        a_size, v_size, e_size = size_hint
     else:
         ncubes_local = nx * ny * (nk // n_dev)
         est = int(12 * ncubes_local ** (2 / 3)) + 4096
         a_size = _bucket(min(est, ncubes_local))
         v_size = _bucket(int(a_size * 1.5))
+        e_size = _bucket(max(4096, a_size // 8), granule=4096)
     while True:
         step = sharded_compact_step(
-            tree, mesh, shape, a_size, v_size, parametric=parametric
+            tree, mesh, shape, a_size, v_size, e_size, parametric=parametric
         )
         args = (origin, res_dev, params) if parametric else (origin, res_dev)
         packed = np.ascontiguousarray(np.asarray(step(*args)))
-        counts = np.ascontiguousarray(packed[:, :2]).view(np.uint32)
+        counts = np.ascontiguousarray(packed[:, :4]).view(np.uint32)
         worst_a = int(counts[:, 0].max(initial=0))
         worst_v = int(counts[:, 1].max(initial=0))
-        if worst_a <= a_size and worst_v <= v_size:
+        worst_e = int(counts[:, 2].max(initial=0))
+        if worst_a <= a_size and worst_v <= v_size and worst_e <= e_size:
             break
         if worst_a > a_size:
             a_size = _bucket(worst_a, granule=16384)
         if worst_v > v_size:
             v_size = _bucket(worst_v, granule=16384)
+        if worst_e > e_size:
+            e_size = _bucket(worst_e, granule=4096)
     if hint_key is not None:
         # grow-only: successive edits keep one executable per structure
-        _step_cache[hint_key] = (a_size, v_size)
+        _step_cache[hint_key] = (a_size, v_size, e_size)
     nk_local = nk // n_dev
+    from ..ops.compact_field import unpack_compact_payload
+
     ids_parts, case_parts, t_parts = [], [], []
     for d in range(n_dev):
-        na, nv = int(counts[d, 0]), int(counts[d, 1])
-        ids = np.ascontiguousarray(packed[d, 2 : 2 + na]).view(np.uint32)
+        ids, cases_d, t_d, _counts = unpack_compact_payload(
+            packed[d], a_size, e_size
+        )
         # local slab id -> global id (slab order IS global z-order)
         ids_parts.append(ids + np.uint32(d * nk_local * nx * ny))
-        case_parts.append(
-            np.ascontiguousarray(
-                packed[d, 2 + a_size : 2 + a_size + a_size // 4]
-            ).view(np.uint8)[:na]
-        )
-        t_parts.append(
-            packed[d, 2 + a_size + a_size // 4 : 2 + a_size + a_size // 4 + nv]
-        )
+        case_parts.append(cases_d)
+        t_parts.append(t_d)
     ids = np.concatenate(ids_parts)
     cases = np.concatenate(case_parts)
     tvals = np.concatenate(t_parts).astype(_f32)

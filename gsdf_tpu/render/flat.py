@@ -148,7 +148,7 @@ class FlatRenderer:
         """Render to an indexed mesh via the COMPACT-FIELD path — the
         minimal-transfer production pipeline (ops/compact_field.py): the
         device ships only active-cube id/case words and edge interpolation
-        parameters (~2 MB on the flange vs 6 MB welded); the native host
+        parameters (~1.3 MB on the flange vs 6 MB welded); the native host
         decoder reconstructs vertices bit-compatibly and walks the MC
         tables (the host-side table walk the reference also performs,
         glrender/octreerenderer.go:131 -> marchcubes.go:34).

@@ -172,9 +172,11 @@ def _tile_mc_fn(tree, S, n_tiles, a_size, t_size, device):
 def _tile_compact_fn(tree, S, n_tiles, a_size, v_size, dims, device, parametric=False):
     """Batched per-tile corner eval + compact-field emit (GLOBAL cube ids).
 
-    The pruned counterpart of ops.compact_field.build_compact_field: same
-    payload layout, same shared emit helpers; merged batch payloads equal
-    the dense path's payload exactly (merge_compact_payloads)."""
+    The pruned counterpart of ops.compact_field.build_compact_field:
+    same shared emit helpers, v1 (full-id) wire layout — tile batches are
+    tile-major, not id-ascending, so the dense path's delta encoding
+    doesn't apply. Merged batch payloads DECODE to exactly the dense
+    path's (ids, cases, t) arrays (merge_compact_payloads)."""
     if parametric:
         from ..eval.parametric import _bind_params, param_spec, structural_hash
 

@@ -269,3 +269,48 @@ def test_compact_indices_hierarchical():
             compact_indices(jnp.asarray(mask), size, method="sort-flat")
         )
         np.testing.assert_array_equal(flat, ref)
+
+
+def test_delta_payload_roundtrip_and_escape_retry():
+    """The v2 wire format's delta encoding is LOSSLESS: decoded ids equal
+    the pre-delta ids for payloads with large inter-cube gaps (escapes),
+    a large first id (first delta is an escape), and an undersized
+    exception table (grow-and-retry)."""
+    import jax
+
+    from gsdf_tpu.ops.compact_field import compact_field_render
+
+    from gsdf_tpu.core.wrappers import with_bounds
+    from gsdf_tpu.geometry.boxes import Box
+
+    bld = Builder()
+    # two tiny spheres far apart, domain forced to the full cube: the
+    # first active cube sits deep into the grid (first delta is an
+    # escape) and empty planes separate the runs (deltas >= 255)
+    part = with_bounds(
+        bld.union(
+            bld.translate(bld.new_sphere(0.08), 0.9, 0.9, 0.9),
+            bld.translate(bld.new_sphere(0.08), -0.9, -0.9, -0.3),
+        ),
+        Box((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)),
+    )
+    res = np.float32(0.02)
+    fr = FlatRenderer(part, res)
+    shape = (fr.nz + 1, fr.ny + 1, fr.nx + 1)
+    dev = jax.devices()[0]
+
+    ids, cases, tvals, hint = compact_field_render(
+        part, fr.origin, res, shape, dev
+    )
+    assert ids[0] > 255  # first delta must have gone through the table
+    assert np.any(np.diff(ids.astype(np.int64)) >= 255)
+    assert np.all(np.diff(ids.astype(np.int64)) > 0)  # ascending, unique
+
+    # force an escape-table overflow: e_size=4 (the format's only new
+    # buffer) must grow-and-retry to an identical result
+    ids2, cases2, tvals2, _ = compact_field_render(
+        part, fr.origin, res, shape, dev, size_hint=(hint[0], hint[1], 4)
+    )
+    np.testing.assert_array_equal(ids, ids2)
+    np.testing.assert_array_equal(cases, cases2)
+    np.testing.assert_array_equal(tvals, tvals2)

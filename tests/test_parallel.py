@@ -130,7 +130,7 @@ def test_render_sharded_compact_overflow_retry():
     devices = jax.devices("cpu")[:4]
     mesh = make_mesh(devices)
     part = _part()
-    sv, st = render_sharded_compact(part, mesh, 0.07, size_hint=(1024, 1024))
+    sv, st = render_sharded_compact(part, mesh, 0.07, size_hint=(1024, 1024, 64))
     fr = FlatRenderer(part, 0.07, device=devices[0])
     cv, ct = fr.render_compact()
     np.testing.assert_array_equal(st, ct)
