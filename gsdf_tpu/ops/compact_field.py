@@ -20,8 +20,11 @@ device (ONE dispatch, ONE fetch):
      t      (V f32): compacted crossing-edge parameters]
 
 The delta encoding shrinks the id stream 4x losslessly (1 B/cube + a
-small exception table instead of 4 B/cube): on the tunneled ~45 MB/s
-link that is ~10 ms on the flange and ~40 ms at resdiv 1000. The
+small exception table instead of 4 B/cube): flange payload 1.92 ->
+1.31 MB measured. The benefit is at interactive payload sizes, where
+the tunnel is overhead-bound (~45 MB/s effective); at resdiv 800+ the
+link streams large buffers faster and the render time is unchanged
+within noise — the saving there is wire bytes, not wall time. The
 host-side unpack is one numpy cumsum (unpack_compact_payload). The
 tile-atlas emit (tile_compact_emit) keeps full i32 ids: its batch
 order is tile-major, not id-ascending, so deltas don't compress.

@@ -92,3 +92,31 @@ def test_all_paths_agree(seed):
     # there is one
     if len(fused):
         assert np.isfinite(fused).all()
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_cropped_bounds_paths_agree(seed):
+    """Surfaces CROPPED by a with_bounds domain touch the grid boundary:
+    owner-edge references can point outside the grid, where the compact
+    decoder must either resolve identically or fall back to the welded
+    path (native and numpy decoders reject identically — ADVICE r2).
+    Counts and vertices must match the welded path either way."""
+    from gsdf_tpu.core.wrappers import with_bounds
+    from gsdf_tpu.geometry.boxes import Box
+
+    rng = np.random.default_rng(100 + seed)
+    t = _random_tree(rng)
+    if t is None:
+        pytest.skip("builder rejected random combination")
+    bb = t.bounds()
+    if not np.isfinite(bb.diagonal()) or bb.diagonal() <= 0:
+        pytest.skip("degenerate bounds")
+    # crop to the part's inner 60%: the surface now intersects the domain
+    t = with_bounds(t, Box(bb.min * 0.6, bb.max * 0.6))
+    res = t.bounds().diagonal() / 32
+
+    fr = FlatRenderer(t, res)
+    wv, wt = fr.render_indexed()
+    cv, ct = FlatRenderer(t, res).render_compact()
+    np.testing.assert_array_equal(ct, wt)
+    np.testing.assert_allclose(cv, wv, atol=1e-5)
