@@ -67,7 +67,7 @@ def _bench_part(obj, resdiv, golden, repeats):
     def run():
         t0 = time.monotonic()
         fr = FlatRenderer(obj, res)
-        # compact-field production path: one dispatch, ~2 MB fetch,
+        # compact-field production path: one dispatch, ~1.3 MB fetch,
         # native host decode + indexed STL encode
         verts, tri_idx = fr.render_compact()
         buf = io.BytesIO()
