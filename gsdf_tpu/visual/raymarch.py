@@ -25,21 +25,29 @@ _rm_cache: dict = {}
 
 def _raymarch_fn(
     tree: Shader3D, width: int, height: int, steps: int, device,
-    relax: float = 0.8,
+    relax: float = 0.8, aa: int = 1,
 ):
     """relax < 1 under-steps the sphere tracer: screw sweeps and other
     domain-warping ops are not 1-Lipschitz, and full steps overshoot thin
-    thread features (speckle artifacts)."""
-    key = (tree.tree_hash(), width, height, steps, device, relax)
+    thread features (speckle artifacts).
+
+    aa > 1 supersamples: the aa*H x aa*W image is rendered AND
+    box-filtered on device, so the fetched frame is always H x W x 3 u8
+    — over the tunneled link this is 1/aa^2 the frame payload (the
+    supersampled fetch used to dominate rest-frame latency in the
+    interactive viewer). The integer filter reproduces the former host
+    filter bit-for-bit: floor(mean + 0.5) on the u8 samples."""
+    key = (tree.tree_hash(), width, height, steps, device, relax, aa)
     fn = _rm_cache.get(key)
     if fn is not None:
         return fn
+    rh, rw = height * aa, width * aa
 
     def impl(cam_pos, center, scale, yaw, pitch, light_dir):
-        iy = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
-        ix = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
-        uv_x = (2.0 * ix - width) / height
-        uv_y = -(2.0 * iy - height) / height
+        iy = jax.lax.broadcasted_iota(jnp.float32, (rh, rw), 0)
+        ix = jax.lax.broadcasted_iota(jnp.float32, (rh, rw), 1)
+        uv_x = (2.0 * ix - rw) / rh
+        uv_y = -(2.0 * iy - rh) / rh
 
         def scene(p):
             return tree.distance(p * scale + center) / scale
@@ -67,8 +75,8 @@ def _raymarch_fn(
             t = jnp.where(done | newly, t, t + d * np.float32(relax))
             return t, done | newly | (t > 8.0)
 
-        t0 = jnp.zeros((height, width), jnp.float32)
-        done0 = jnp.zeros((height, width), bool)
+        t0 = jnp.zeros((rh, rw), jnp.float32)
+        done0 = jnp.zeros((rh, rw), bool)
         t, done = jax.lax.fori_loop(0, steps, body, (t0, done0))
 
         pos = ro + rd * t[..., None]
@@ -102,7 +110,17 @@ def _raymarch_fn(
         sky = jnp.asarray(np.array([0.65, 0.78, 0.9], _f32)) - 0.4 * rd[..., 2:3]
         col = jnp.where(hit[..., None], col_hit, sky)
         col = jnp.clip(col, 0.0, 1.0) ** (1 / 2.2)
-        return (col * 255).astype(jnp.uint8)
+        img = (col * 255).astype(jnp.uint8)
+        if aa == 1:
+            return img
+        # device-side box filter over the u8 samples, bit-identical to
+        # the former host filter: floor(sum/n + 0.5) = (2*sum+n)//(2n)
+        s = jnp.sum(
+            img.reshape(height, aa, width, aa, 3).astype(jnp.int32),
+            axis=(1, 3),
+        )
+        n = aa * aa
+        return ((2 * s + n) // (2 * n)).astype(jnp.uint8)
 
     jitted = jax.jit(impl)
 
@@ -143,23 +161,17 @@ def raymarch_image(
     """Render one shaded view of the part, returning (H,W,3) uint8.
 
     relax=None picks a step relaxation automatically (auto_relax).
-    aa > 1 supersamples (renders aa*W x aa*H and box-filters down — the
-    reference UI's uAA antialiasing, gsdfaux/ui.go:131-241)."""
+    aa > 1 supersamples (renders aa*W x aa*H and box-filters down ON
+    DEVICE — the reference UI's uAA antialiasing, gsdfaux/ui.go:131-241
+    — so the fetched frame is always W x H regardless of aa)."""
     device = device if device is not None else jax.devices()[0]
     relax = auto_relax(obj) if relax is None else relax
-    if aa > 1:
-        img = raymarch_image(
-            obj, width * aa, height * aa, yaw, pitch, cam_dist, steps,
-            device, relax, aa=1,
-        )
-        boxed = img.reshape(height, aa, width, aa, 3).astype(np.uint16)
-        return (boxed.mean(axis=(1, 3)) + 0.5).astype(np.uint8)
     bb = obj.bounds()
     center = bb.center().astype(_f32)
     scale = _f32(max(float(np.max(bb.size())) / 2, 1e-9))
     light = np.array([0.6, 0.4, 0.8], _f32)
     light /= np.linalg.norm(light)
-    fn = _raymarch_fn(obj, width, height, steps, device, relax)
+    fn = _raymarch_fn(obj, width, height, steps, device, relax, aa=int(aa))
     img = fn(
         _f32(cam_dist),
         jnp.asarray(center),
