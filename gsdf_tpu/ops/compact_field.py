@@ -293,6 +293,10 @@ def merge_compact_payloads(parts):
 
     parts: list of (ids u32, cases u8, tvals f32). Returns
     (ids, cases, tvals)."""
+    # a surviving coarse tile can contain zero sign-crossing cubes (the
+    # prune criterion keeps NEAR-surface tiles): empty parts carry no
+    # rows and would break the per-part rebase index arithmetic below
+    parts = [p for p in parts if len(p[0])]
     if not parts:
         return (
             np.empty(0, np.uint32),
@@ -339,8 +343,8 @@ def build_compact_field(
     tree, shape, a_size, e_size, v_size, device, parametric=False
 ):
     """Compiled (origin, res, k0[, params]) -> v2 packed 1-D f32 buffer
-    (payload_words(a_size, e_size, v_size) floats; see module docstring).
-    a_size must be a multiple of 4.
+    (4 + a_size/4 + a_size/4 + 2*e_size + v_size f32 words; see the
+    module docstring for the layout). a_size must be a multiple of 4.
     """
     if parametric:
         from ..eval.parametric import _bind_params, param_spec, structural_hash
@@ -483,8 +487,10 @@ def compact_field_render_slabbed(
     through fixed buffers (glrender/octreerenderer.go:131-178).
 
     Returns (ids (A,) uint32 GLOBAL cube ids, cases, tvals, n_points
-    evaluated). One buffer size is used for every slab (grow-only), so all
-    equal-height slabs share one executable.
+    evaluated). One buffer size is used for every slab (grow-only —
+    the running hint is the componentwise MAX of sizes seen, never the
+    re-bucketed-down per-call hint), so all equal-height slabs share
+    one executable.
     """
     nk, nj, ni = (int(x) for x in shape)
     nx, ny, nz = ni - 1, nj - 1, nk - 1
@@ -493,7 +499,15 @@ def compact_field_render_slabbed(
     plane = nj * ni
     n_slabs = max(1, -(-nk * plane // int(max_points)))
     bounds_k = [nz * s // n_slabs for s in range(n_slabs + 1)]
-    hint = None
+    # seed the hint with the per-slab estimate compact_field_render would
+    # make for the TALLEST slab, so slab 0 and the rest size identically
+    max_dk = max(
+        (bounds_k[s + 1] - bounds_k[s] for s in range(n_slabs)), default=0
+    )
+    ncubes_slab = nx * ny * max(max_dk, 1)
+    est = int(12 * ncubes_slab ** (2 / 3)) + 4096
+    a0 = _bucket(min(est, ncubes_slab))
+    hint = (a0, _bucket(int(a0 * 1.5)), _bucket(max(4096, a0 // 8), granule=4096))
     n_points = 0
     ids_parts, case_parts, t_parts = [], [], []
     for s in range(n_slabs):
@@ -502,10 +516,14 @@ def compact_field_render_slabbed(
             continue  # more slabs than cube layers (tiny test gates)
         slab_shape = (k1 - k0 + 1, nj, ni)
         n_points += slab_shape[0] * plane
-        ids, cases, tvals, hint = compact_field_render(
+        ids, cases, tvals, h = compact_field_render(
             tree, origin, res, slab_shape, device,
             size_hint=hint, parametric=parametric, k0=k0,
         )
+        # grow-only: a retry inside compact_field_render re-buckets with
+        # granule 16384 and its returned hint equals the grown size, so
+        # max(passed, returned) is exactly the executable's buffer sizes
+        hint = tuple(max(a, b) for a, b in zip(hint, h))
         ids_parts.append(ids.astype(np.uint32) + np.uint32(k0 * nx * ny))
         case_parts.append(cases)
         t_parts.append(tvals)

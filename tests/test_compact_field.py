@@ -314,3 +314,58 @@ def test_delta_payload_roundtrip_and_escape_retry():
     np.testing.assert_array_equal(ids, ids2)
     np.testing.assert_array_equal(cases, cases2)
     np.testing.assert_array_equal(tvals, tvals2)
+
+
+def test_merge_compact_payloads_empty_parts():
+    """A surviving coarse tile can contain zero sign-crossing cubes: the
+    merge must skip empty parts instead of crashing on the per-part
+    rebase arithmetic (found by review, round 3)."""
+    from gsdf_tpu.ops.compact_field import merge_compact_payloads
+
+    ne = (
+        np.array([5, 9], np.uint32),
+        np.array([3, 120], np.uint8),  # 2 crossing edges each
+        np.array([0.5, 0.25, 0.75, 0.125], np.float32),
+    )
+    empty = (
+        np.empty(0, np.uint32),
+        np.empty(0, np.uint8),
+        np.empty(0, np.float32),
+    )
+    for parts in ([ne, empty], [empty, ne], [empty, ne, empty]):
+        ids, cases, t = merge_compact_payloads(parts)
+        np.testing.assert_array_equal(ids, ne[0])
+        np.testing.assert_array_equal(cases, ne[1])
+        np.testing.assert_array_equal(t, ne[2])
+    ids, cases, t = merge_compact_payloads([empty, empty])
+    assert len(ids) == 0 and len(cases) == 0 and len(t) == 0
+
+
+def test_slabbed_shares_one_executable_per_height():
+    """The slabbed dispatch must NOT compile a new executable per slab:
+    the running hint is grow-only (max of sizes seen), so slabs of equal
+    height share one build-cache entry (found by review, round 3)."""
+    import jax
+
+    from gsdf_tpu.ops import compact_field as cf
+
+    bld = Builder()
+    part = bld.smooth_union(
+        0.1, bld.new_sphere(0.8), bld.new_box(1.2, 1.2, 0.5, 0.05)
+    )
+    res = np.float32(part.bounds().diagonal() / 48)
+    fr = FlatRenderer(part, res)
+    shape = (fr.nz + 1, fr.ny + 1, fr.nx + 1)
+    dev = jax.devices()[0]
+    before = {k for k in cf._cache if isinstance(k, tuple)}
+    ids, cases, tvals, n_pts = cf.compact_field_render_slabbed(
+        part, fr.origin, res, shape, dev, max_points=shape[1] * shape[2] * 12
+    )
+    new_exec = [
+        k for k in cf._cache
+        if isinstance(k, tuple) and k not in before and k[0] != "hint"
+        and not (isinstance(k[0], str) and k[0].startswith("hint"))
+    ]
+    heights = {k[1][0] for k in new_exec}  # slab shapes actually compiled
+    # one executable per distinct slab height, no growth thrash
+    assert len(new_exec) == len(heights), (new_exec, heights)
