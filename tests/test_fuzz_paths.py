@@ -64,7 +64,7 @@ def _random_tree(rng):
     return t
 
 
-@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("seed", range(8))
 def test_all_paths_agree(seed):
     rng = np.random.default_rng(seed)
     t = _random_tree(rng)
@@ -94,7 +94,7 @@ def test_all_paths_agree(seed):
         assert np.isfinite(fused).all()
 
 
-@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("seed", range(5))
 def test_cropped_bounds_paths_agree(seed):
     """Surfaces CROPPED by a with_bounds domain touch the grid boundary:
     owner-edge references can point outside the grid, where the compact
