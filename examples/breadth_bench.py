@@ -32,8 +32,9 @@ def main():
     rows = [
         ("npt-flange", build_flange(), 400, GOLDEN_FLANGE_TRIS),
         ("fibonacci-showerhead", build_showerhead(), 350, GOLDEN_SHOWERHEAD_TRIS),
-        ("iso-m3-bolt", bolt_mod.scene(Builder()), 300, None),
-        ("knurled-cylinder", kc_mod.build_shape(Builder()), 350, None),
+        # these two counts are regression gates too (docs/PERFORMANCE.md)
+        ("iso-m3-bolt", bolt_mod.scene(Builder()), 300, 137192),
+        ("knurled-cylinder", kc_mod.build_shape(Builder()), 350, 617460),
     ]
     for name, obj, resdiv, golden in rows:
         ms, n = _bench_part(obj, resdiv, golden, repeats=7)

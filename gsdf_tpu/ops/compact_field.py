@@ -508,6 +508,12 @@ def compact_field_render_slabbed(
     est = int(12 * ncubes_slab ** (2 / 3)) + 4096
     a0 = _bucket(min(est, ncubes_slab))
     hint = (a0, _bucket(int(a0 * 1.5)), _bucket(max(4096, a0 // 8), granule=4096))
+    if parametric:
+        from ..eval.parametric import structural_hash
+
+        tkey = structural_hash(tree)
+    else:
+        tkey = tree.tree_hash()
     n_points = 0
     ids_parts, case_parts, t_parts = [], [], []
     for s in range(n_slabs):
@@ -516,6 +522,15 @@ def compact_field_render_slabbed(
             continue  # more slabs than cube layers (tiny test gates)
         slab_shape = (k1 - k0 + 1, nj, ni)
         n_points += slab_shape[0] * plane
+        # fold in the hint compact_field_render remembered for this slab
+        # shape on an earlier render of the same tree (passing an explicit
+        # size_hint bypasses its own cache lookup): warm repeated renders
+        # must not re-pay an overflow retry the first render already paid
+        remembered = _cache.get(
+            ("hint-param" if parametric else "hint", tkey, slab_shape)
+        )
+        if remembered:
+            hint = tuple(max(a, b) for a, b in zip(hint, remembered))
         ids, cases, tvals, h = compact_field_render(
             tree, origin, res, slab_shape, device,
             size_hint=hint, parametric=parametric, k0=k0,

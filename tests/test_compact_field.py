@@ -363,7 +363,7 @@ def test_slabbed_shares_one_executable_per_height():
     )
     new_exec = [
         k for k in cf._cache
-        if isinstance(k, tuple) and k not in before and k[0] != "hint"
+        if isinstance(k, tuple) and k not in before
         and not (isinstance(k[0], str) and k[0].startswith("hint"))
     ]
     heights = {k[1][0] for k in new_exec}  # slab shapes actually compiled
