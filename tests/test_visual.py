@@ -153,3 +153,24 @@ def test_format_glsl():
     assert lines[2].startswith("        return")
     assert lines[3] == "    }"
     assert lines[5] == "}"
+
+
+def test_raymarch_device_aa_filter_bit_identical():
+    """The on-device supersampling box filter must equal rendering at
+    aa*W x aa*H and box-filtering the u8 image on host — the exact
+    pre-round-3 host formulation floor(mean + 0.5) (same device, so the
+    underlying samples are identical)."""
+    import numpy as np
+
+    from gsdf_tpu import Builder
+    from gsdf_tpu.visual.raymarch import raymarch_image
+
+    bld = Builder()
+    s = bld.smooth_union(
+        0.1, bld.new_sphere(0.7), bld.new_box(1.0, 0.6, 0.4, 0.05)
+    )
+    dev_aa = raymarch_image(s, 48, 40, aa=2, steps=40)
+    full = raymarch_image(s, 96, 80, aa=1, steps=40)
+    boxed = full.reshape(40, 2, 48, 2, 3).astype(np.uint16)
+    ref = (boxed.mean(axis=(1, 3)) + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(dev_aa, ref)
