@@ -157,16 +157,22 @@ def acos(x):
     return jnp.arccos(x)
 
 
-def scan_fold(body, init, xs, unroll: int = 8):
+def scan_fold(body, init, xs, unroll: int = 1):
     """lax.scan over the leading axis of xs, carry-only (no per-step ys).
 
-    unroll=8 by default: each scan step round-trips the carry (and the
-    point batch it closes over) through HBM — on a 512^3 flange-polygon
-    fold that is ~16 B/point/step of carry traffic, and unrolling keeps
-    it in registers across steps. Measured on the v5e (flange tree,
-    512^3): 0.99 -> 2.45 Geval/s (saturates at unroll=8; 18 = same).
-    Callers whose body is a large traced subtree pass a smaller factor
-    to bound program size.
+    BIT-EXACTNESS CONTRACT: the default is unroll=1 because unrolling
+    lets XLA re-associate FMA contraction across steps — observed as
+    1-ulp drift on the scan-grouped OpUnion, which must stay bit-exact
+    to sequential folding (pinned in test_ops.py). Callers may opt into
+    unrolling ONLY where a test pins the result against the unrolled
+    fold itself (or a float64 oracle with tolerance).
+
+    Why opt in: each scan step round-trips the carry (and the point
+    batch it closes over) through HBM — on a 512^3 flange-polygon fold
+    that is ~16 B/point/step of carry traffic, and unrolling keeps it
+    in registers across steps. Measured on the v5e (flange tree,
+    512^3): 0.99 -> 2.45 Geval/s at unroll=8 (saturates there; the
+    Polygon2D edge fold passes unroll=8 explicitly).
 
     Inside Pallas traces this becomes a fori_loop with dynamic row
     indexing: Mosaic lowers scan only without extensive inputs/outputs."""

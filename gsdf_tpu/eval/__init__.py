@@ -4,6 +4,7 @@ from .evaluator import (
     SDF2,
     SDF3,
     BlockCachedSDF3,
+    CachedExactSDF3,
     clear_jit_cache,
     evaluate_grid,
     new_cpu_sdf3,
@@ -19,6 +20,7 @@ __all__ = [
     "SDF2",
     "SDF3",
     "BlockCachedSDF3",
+    "CachedExactSDF3",
     "clear_jit_cache",
     "displace_multi2d",
     "evaluate_grid",

@@ -58,10 +58,14 @@ class Batcher:
     def execute_raw_binary_operation(self, op: Callable, dst, a, b):
         """Arbitrary elementwise op(a, b) -> d over distance buffers
         (reference ExecuteRawBinaryOperation, batchevaluator.go:13; the
-        GLSL expression string becomes a jnp callable)."""
-        key = id(op)
-        fn = self._custom.get(key)
+        GLSL expression string becomes a jnp callable).
+
+        The cache is keyed by the callable object itself (which keeps it
+        alive), never by ``id(op)``: a garbage-collected op's id can be
+        reused by a new op, which would silently receive the wrong
+        compiled function."""
+        fn = self._custom.get(op)
         if fn is None:
             fn = jax.jit(op)
-            self._custom[key] = fn
+            self._custom[op] = fn
         return self._run(fn, dst, a, b)

@@ -280,3 +280,68 @@ class BlockCachedSDF3:
         self._evals += len(pos)
         self._hits += len(pos) - n_miss
         return dist
+
+
+class CachedExactSDF3:
+    """Exact-position memo cache: hits only on bit-identical (x,y,z)
+    float32 positions (reference cachedExactSDF3, gleval/gleval.go:220-260
+    — keys are Float32bits of each coordinate). Debug/analysis tool for
+    measuring how often a renderer re-evaluates the same point; unlike
+    BlockCachedSDF3 a hit is always numerically exact, never quantized.
+
+    Vectorized like BlockCachedSDF3: the three u32 bit patterns form a
+    structured key (lexicographic compare), lookups are one searchsorted
+    over the sorted known-key array per batch."""
+
+    _DT = np.dtype([("x", "u4"), ("y", "u4"), ("z", "u4")])
+
+    def __init__(self, sdf: SDF3):
+        self.sdf = sdf
+        self._keys = np.empty(0, self._DT)  # sorted packed bit-keys
+        self._vals = np.empty(0, _f32)
+        self._hits = 0
+        self._evals = 0
+
+    def cache_hits(self) -> int:
+        return self._hits
+
+    def evaluations(self) -> int:
+        return self._evals
+
+    def bounds(self):
+        return self.sdf.bounds()
+
+    def _pack(self, pos: np.ndarray) -> np.ndarray:
+        bits = np.ascontiguousarray(pos, dtype=_f32).view(np.uint32)
+        return bits.reshape(-1, 3).copy().view(self._DT).reshape(-1)
+
+    def evaluate(self, pos: np.ndarray) -> np.ndarray:
+        pos = np.ascontiguousarray(pos, dtype=_f32)
+        if len(pos) == 0:
+            raise ValueError("empty buffers")
+        packed = self._pack(pos)
+        dist = np.empty(len(pos), _f32)
+        if len(self._keys):
+            at = np.searchsorted(self._keys, packed)
+            at_c = np.minimum(at, len(self._keys) - 1)
+            hit = self._keys[at_c] == packed
+            dist[hit] = self._vals[at_c[hit]]
+        else:
+            hit = np.zeros(len(pos), bool)
+        miss = ~hit
+        n_miss = int(miss.sum())
+        if n_miss:
+            d_new = np.asarray(self.sdf.evaluate(pos[miss]), _f32)
+            dist[miss] = d_new
+            pm = packed[miss]
+            # one value per exact position, last writer wins (the
+            # reference stores in order, gleval.go:244-252)
+            rev_first = np.unique(pm[::-1], return_index=True)[1]
+            uk, uv = pm[::-1][rev_first], d_new[::-1][rev_first]
+            keys = np.concatenate([self._keys, uk])
+            vals = np.concatenate([self._vals, uv])
+            order = np.argsort(keys, kind="stable")
+            self._keys, self._vals = keys[order], vals[order]
+        self._evals += len(pos)
+        self._hits += len(pos) - n_miss
+        return dist

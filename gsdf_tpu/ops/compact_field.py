@@ -183,6 +183,26 @@ def _pack_payload_full_ids(ids, idx8, valid, t, A, V, n_active):
     )
 
 
+def unpack_compact_payload_full_ids(packed, a_size):
+    """Host-side unpack of the v1 full-id buffer (_pack_payload_full_ids)
+    -> (ids u32, cases u8, tvals f32, (n_active, n_verts)). The wire
+    layout lives ONLY in this pack/unpack pair (CLAUDE.md rule); counts
+    may exceed a_size/v_size (overflow): rows are then truncated and the
+    caller must retry."""
+    packed = np.ascontiguousarray(packed)
+    A = int(a_size)
+    hdr = packed[:2].view(np.int32)
+    na, nv = int(hdr[0]), int(hdr[1])
+    na_c = min(na, A)
+    off = 2
+    ids = packed[off : off + A].view(np.uint32)[:na_c]
+    off += A
+    cases = packed[off : off + A // 4].view(np.uint8)[:na_c]
+    off += A // 4
+    tvals = packed[off : off + nv]
+    return ids, cases, tvals, (na, nv)
+
+
 def compact_emit(grid, res, a_size, e_size, v_size):
     """Classify -> compact -> owner-edge-t -> packed buffer. The ONE
     compact-field emit implementation, shared by the single-device builder
@@ -242,6 +262,8 @@ def tile_compact_emit(grid, tile_ijk, dims, res, a_size, v_size):
     S = P - 1
     nx, ny, nz = (int(d) for d in dims)
     A = int(a_size)
+    if A % 4:
+        raise ValueError("a_size must be a multiple of 4")
     V = int(v_size)
 
     # classification per tile cube, masked to valid tiles AND the global

@@ -321,13 +321,16 @@ class PrunedRenderer:
                 batch = np.concatenate([batch, pad], axis=0)
             # surviving tiles contain surface; expect a surface sheet worth
             # of active cubes per tile (~S^2 scale); grow-and-retry covers
-            # the rest. Remembered exact sizes from a previous render of
-            # this object make steady-state dispatches minimal.
-            hints = _kernel_cache.setdefault(
-                ("hints", self.s.tree_hash(), float(self.res)), {}
-            )
-            if start in hints:
-                a_size, t_size = hints[start]
+            # the rest. Hints are per-STRUCTURE and grow-only (like the
+            # sharded path, parallel/sharded.py:301-303): when parametric
+            # edits shift the surviving tile set between renders, a
+            # per-batch-start hint would mispredict and re-pay retries;
+            # one grown (a_size, t_size) pair stays valid and keeps one
+            # executable per structure.
+            hkey = ("hints", self.s.tree_hash(), float(self.res))
+            hint = _kernel_cache.get(hkey)
+            if hint is not None:
+                a_size, t_size = hint
             else:
                 a_size = _bucket(nb * self.S**2 * 3, minimum=4096)
                 t_size = _bucket(a_size * 5 // 2, minimum=4096)
@@ -345,10 +348,7 @@ class PrunedRenderer:
                 if total > t_size:
                     t_size = _bucket(max(total, a_size * 5 // 2))
             self._evaluations += n_real * P3
-            hints[start] = (
-                _bucket(max(n_active, 1), minimum=4096),
-                _bucket(max(total, 1), minimum=4096),
-            )
+            _kernel_cache[hkey] = (a_size, t_size)
             yield np.asarray(out)[:total]
 
     def render(self) -> np.ndarray:
@@ -358,18 +358,26 @@ class PrunedRenderer:
         return np.concatenate(parts, axis=0)
 
     def compact_payload(self, parametric=False):
-        """Pruned compact-field payload: (ids u32, cases u8, tvals f32),
-        bit-identical to the dense path's
-        (ops.compact_field.compact_field_render) for 1-Lipschitz fields —
-        the tile-survival criterion guarantees every active cube's tile
-        survives, so the merged active set is exactly the dense one.
+        """Pruned compact-field payload: (ids u32, cases u8, tvals f32).
+        For 1-Lipschitz fields the tile-survival criterion guarantees
+        every active cube's tile survives, so ids/cases/connectivity are
+        IDENTICAL to the dense path's
+        (ops.compact_field.compact_field_render); t matches to float32
+        round-off (a few tens of ulps: the tile-atlas eval fuses
+        differently from the whole-grid kernel and the edge-interpolation
+        quotient amplifies 1-ulp grid differences by cancellation;
+        pinned in tests/test_pruned.py).
 
         parametric=True compiles per tree STRUCTURE (eval.parametric):
         edit the tree's continuous parameters and re-render with zero new
         executables (batch-size buckets recur across edits). The grid
         stays pinned to construction-time bounds — pin generous bounds
         (core.wrappers.with_bounds) before editing."""
-        from ..ops.compact_field import MAX_CUBES, merge_compact_payloads
+        from ..ops.compact_field import (
+            MAX_CUBES,
+            merge_compact_payloads,
+            unpack_compact_payload_full_ids,
+        )
         from ..ops.mc_emit import bucket as _bk
 
         if self.nx * self.ny * self.nz >= MAX_CUBES:
@@ -386,7 +394,6 @@ class PrunedRenderer:
         dims = (self.nx, self.ny, self.nz)
         P3 = (self.S + 1) ** 3
         parts = []
-        hints = _kernel_cache.setdefault(hkey, {})
         for start in range(0, len(tiles), self.tiles_per_batch):
             batch = tiles[start : start + self.tiles_per_batch]
             nb = _bucket(len(batch), minimum=64, granule=self.tiles_per_batch)
@@ -395,8 +402,10 @@ class PrunedRenderer:
             if len(batch) < nb:
                 pad = np.full((nb - len(batch), 3), -1, np.int32)
                 batch = np.concatenate([batch, pad], axis=0)
-            if start in hints:
-                a_size, v_size = hints[start]
+            # per-structure grow-only hints (see read_triangles)
+            hint = _kernel_cache.get(hkey)
+            if hint is not None:
+                a_size, v_size = hint
             else:
                 a_size = _bk(nb * self.S**2 * 3, minimum=4096)
                 v_size = _bk(a_size * 2, minimum=4096)
@@ -411,7 +420,9 @@ class PrunedRenderer:
                         params=params,
                     )
                 )
-                n_active, n_verts = (int(x) for x in packed[:2].view(np.int32))
+                ids, cs, tv, (n_active, n_verts) = unpack_compact_payload_full_ids(
+                    packed, a_size
+                )
                 if n_active <= a_size and n_verts <= v_size:
                     break
                 if n_active > a_size:
@@ -419,26 +430,8 @@ class PrunedRenderer:
                 if n_verts > v_size:
                     v_size = _bk(n_verts, granule=16384)
             self._evaluations += n_real * P3
-            hints[start] = (
-                _bk(max(n_active, 1), minimum=4096),
-                _bk(max(n_verts, 1), minimum=4096),
-            )
-            parts.append(
-                (
-                    packed[2 : 2 + n_active].view(np.uint32),
-                    packed[2 + a_size : 2 + a_size + a_size // 4].view(np.uint8)[
-                        :n_active
-                    ],
-                    packed[
-                        2
-                        + a_size
-                        + a_size // 4 : 2
-                        + a_size
-                        + a_size // 4
-                        + n_verts
-                    ],
-                )
-            )
+            _kernel_cache[hkey] = (a_size, v_size)
+            parts.append((ids, cs, tv))
         return merge_compact_payloads(parts)
 
     def render_compact(self, parametric=False):

@@ -101,7 +101,16 @@ def test_pruned_compact_payload_matches_dense():
     )
     np.testing.assert_array_equal(ids_p, ids_d)
     np.testing.assert_array_equal(cases_p, cases_d)
-    np.testing.assert_allclose(t_p, t_d, atol=1e-6)
+    # ids/cases/connectivity are exact; t matches to f32 round-off ONLY:
+    # the tile-atlas eval fuses differently from the dense whole-grid
+    # kernel, and a 1-ulp grid-value difference amplifies through the
+    # cancellation in t = -v0/(vfar-v0). Pin a tight ulp bound (measured
+    # max 15 ulp on 2% of values) so real drift still fails loudly.
+    ulp = np.abs(
+        t_p.view(np.int32).astype(np.int64) - t_d.view(np.int32).astype(np.int64)
+    )
+    assert ulp.max(initial=0) <= 32, f"t drift {ulp.max()} ulp > 32"
+    assert np.mean(ulp > 0) < 0.05, f"{np.mean(ulp > 0):.1%} of t values drifted"
     # pruning actually skipped fine evaluations
     assert pr.total_pruned() > 0
 
