@@ -14,6 +14,67 @@ from gsdf_tpu.render.flat import FlatRenderer
 bld = Builder()
 
 
+def _random_profile(rng):
+    """Random 2D profile for extrude/revolve leaves (the reference's
+    randomized extrude/revolve generators build random 2D shapes,
+    gsdf_test.go:688-730)."""
+    k = int(rng.integers(4))
+    if k == 0:
+        return bld.new_circle(float(rng.uniform(0.2, 0.5)))
+    if k == 1:
+        return bld.new_rectangle(
+            float(rng.uniform(0.3, 0.8)), float(rng.uniform(0.3, 0.8))
+        )
+    if k == 2:
+        return bld.new_hexagon(float(rng.uniform(0.2, 0.5)))
+    n = int(rng.integers(5, 9))
+    ang = np.linspace(0, 2 * np.pi, n + 1)[:-1]
+    r = rng.uniform(0.25, 0.6, n)
+    verts = np.stack([r * np.cos(ang), r * np.sin(ang)], axis=1)
+    return bld.new_polygon(verts)
+
+
+def _random_unary(t, rng):
+    """One random unary op from the reference's full randomized set
+    (rotate/shell/elongate/offset/scale/symmetry/translate/array/
+    circarray/twist, gsdf_test.go:233-283, generators :572-730;
+    extrude/revolve enter via _random_tree's 2D leaves)."""
+    k = int(rng.integers(10))
+    if k == 0:
+        ax = rng.normal(size=3)
+        ax /= np.linalg.norm(ax)
+        return bld.rotate(t, float(rng.uniform(0, 3)), tuple(float(a) for a in ax))
+    if k == 1:
+        return bld.scale(t, float(rng.uniform(0.6, 1.5)))
+    if k == 2:
+        return bld.offset(t, float(rng.uniform(-0.05, 0.05)))
+    if k == 3:
+        return bld.shell(t, float(rng.uniform(0.03, 0.1)))
+    if k == 4:
+        m = rng.uniform(size=3) < 0.5
+        if not m.any():
+            m[2] = True
+        return bld.symmetry(t, *(bool(x) for x in m))
+    if k == 5:
+        return bld.twist(t, float(rng.uniform(-0.5, 0.5)))
+    if k == 6:
+        n_div = int(rng.integers(3, 9))
+        n_inst = int(rng.integers(2, n_div + 1))
+        return bld.circular_array(
+            bld.translate(t, float(rng.uniform(1.5, 2.5)), 0.0, 0.0),
+            n_inst,
+            n_div,
+        )
+    if k == 7:
+        return bld.elongate(t, *(float(x) for x in rng.uniform(0.05, 0.4, 3)))
+    if k == 8:
+        return bld.translate(t, *(float(x) for x in rng.uniform(-0.5, 0.5, 3)))
+    nx, ny, nz = (int(x) for x in rng.integers(1, 3, 3))
+    return bld.array(
+        t, *(float(x) for x in rng.uniform(1.8, 2.4, 3)), nx, ny, nz
+    )
+
+
 def _random_tree(rng):
     prims = [
         lambda: bld.new_sphere(float(rng.uniform(0.3, 1.0))),
@@ -28,6 +89,14 @@ def _random_tree(rng):
         ),
         lambda: bld.new_hexagonal_prism(
             float(rng.uniform(0.3, 0.7)), float(rng.uniform(0.4, 1.0))
+        ),
+        # 2D->3D leaves: extrude / revolve of random profiles
+        lambda: bld.extrude(_random_profile(rng), float(rng.uniform(0.4, 1.2))),
+        lambda: bld.revolve(
+            bld.translate2d(
+                _random_profile(rng), float(rng.uniform(0.8, 1.5)), 0.0
+            ),
+            float(rng.uniform(0.0, 0.4)),
         ),
     ]
 
@@ -49,14 +118,9 @@ def _random_tree(rng):
     t = leaf()
     for _ in range(int(rng.integers(1, 4))):
         t = combine(t, leaf())
-    # random unary op on top
-    unary = rng.integers(4)
-    if unary == 0:
-        t = bld.rotate(t, float(rng.uniform(0, 3)), (0.0, 0.0, 1.0))
-    elif unary == 1:
-        t = bld.scale(t, float(rng.uniform(0.6, 1.5)))
-    elif unary == 2:
-        t = bld.offset(t, float(rng.uniform(-0.05, 0.05)))
+    # 1-2 random unary ops on top, drawn from the reference's full set
+    for _ in range(int(rng.integers(1, 3))):
+        t = _random_unary(t, rng)
     err = bld.err()
     if err:
         bld.clear_errors()
@@ -64,7 +128,7 @@ def _random_tree(rng):
     return t
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", range(10))
 def test_all_paths_agree(seed):
     rng = np.random.default_rng(seed)
     t = _random_tree(rng)
