@@ -163,8 +163,338 @@ class DualContourLeastSquares:
         return math.sqrt(1e-5)
 
 
+# (di, dj, dk) quad-corner voxel offsets per edge axis
+# (reference dual_contour.go edge-neighbor tables :277-293); the 5th
+# entry duplicates the own voxel: the reference adds the cube's own
+# active-edge rows separately from the neighbor rows, so each edge's own
+# voxel receives its row twice (dual_contour_vertexplacement.go:57-63).
+_OFFS = {
+    0: [(0, -1, -1), (0, 0, -1), (0, 0, 0), (0, -1, 0)],
+    1: [(-1, 0, -1), (-1, 0, 0), (0, 0, 0), (0, 0, -1)],
+    2: [(-1, -1, 0), (0, -1, 0), (0, 0, 0), (-1, 0, 0)],
+}
+_OFF5 = {a: _OFFS[a] + [(0, 0, 0)] for a in _OFFS}
+
+
+def _dc_mesh_fn(tree, shape, a_size, w_size, norm_step, sqrt_lambda, device):
+    """Compiled (origin, res) -> packed f32 buffer for the FULLY-ON-DEVICE
+    dual-contour pipeline: grid eval -> active-edge compaction ->
+    in-kernel central-difference normals -> edge->voxel scatter (sort +
+    sorted segment-sum) -> batched 3x3 QEF normal-equations solve ->
+    vertex placement -> quad corner-slot resolution. One dispatch; the
+    fetch is surface-sized (final vertices + per-edge quad indices).
+
+    The QEF semantics match the float64 host oracle (_render_host /
+    reference dual_contour_vertexplacement.go:25-141) with ONE
+    solution-invariant change: every least-squares row (normal rows AND
+    the sqrt(1e-5) regularization rows) is scaled by 1/norm_step.
+    Scaling A and b uniformly leaves argmin |Ax-b| unchanged but brings
+    the raw step-scaled central differences (magnitude ~norm_step) into
+    f32-friendly range for the on-device normal-equations solve.
+
+    Layout: [n_edges i32, n_vox i32, verts (3*W f32), vid (4*A i32,
+    -1 = invalid quad), fv (A i32: bit0 valid, bit1 winding flip,
+    bits 2-3 edge axis)].
+    """
+    key = (
+        "mesh", tree.tree_hash(), tuple(shape), a_size, w_size,
+        _f32(norm_step), _f32(sqrt_lambda), device,
+    )
+    fn = _dc_cache.get(key)
+    if fn is not None:
+        return fn
+    nk, nj, ni = (int(x) for x in shape)
+    nz, ny, nx = nk - 1, nj - 1, ni - 1
+    nvox = nz * ny * nx
+    if 3 * nvox >= 1 << 31:
+        raise ValueError("grid too large for int32 edge ids (3*nvox >= 2^31)")
+    A = int(a_size)
+    W = int(w_size)
+    half = _f32(norm_step) * _f32(0.5)
+    inv_step = _f32(1.0) / _f32(norm_step)
+    lam = _f32(sqrt_lambda) * inv_step  # scaled regularization row weight
+
+    def impl(origin, res):
+        iz = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 0)
+        iy = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 1)
+        ix = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 2)
+        p = jnp.stack(
+            [origin[0] + ix * res, origin[1] + iy * res, origin[2] + iz * res],
+            axis=-1,
+        )
+        grid = tree.distance(p)
+        d0 = grid[:-1, :-1, :-1]
+        dxx = grid[:-1, :-1, 1:]
+        dyy = grid[:-1, 1:, :-1]
+        dzz = grid[1:, :-1, :-1]
+        s0 = jnp.signbit(d0)
+        flags = jnp.stack(
+            [
+                s0 != jnp.signbit(dxx),
+                s0 != jnp.signbit(dyy),
+                s0 != jnp.signbit(dzz),
+            ]
+        ).reshape(-1)
+        safe = lambda de: jnp.where(de == d0, 1.0, de - d0)  # noqa: E731
+        t3 = jnp.stack(
+            [-d0 / safe(dxx), -d0 / safe(dyy), -d0 / safe(dzz)]
+        ).reshape(-1)
+        flip3 = jnp.stack(
+            [(dxx - d0) < 0, (dyy - d0) < 0, (dzz - d0) < 0]
+        ).reshape(-1)
+
+        n_edges = jnp.sum(flags.astype(jnp.int32))
+        pos = jnp.cumsum(flags.astype(jnp.int32)) - 1
+        dest = jnp.where(flags, pos, A)
+        eid_all = jnp.arange(3 * nvox, dtype=jnp.int32)
+        eid = jnp.zeros((A + 1,), jnp.int32).at[dest].set(
+            eid_all, mode="drop"
+        )[:A]
+        tv = jnp.zeros((A + 1,), jnp.float32).at[dest].set(t3, mode="drop")[:A]
+        eflip = jnp.zeros((A + 1,), jnp.bool_).at[dest].set(
+            flip3, mode="drop"
+        )[:A]
+        valid = jnp.arange(A) < n_edges
+
+        eax = eid // nvox
+        rem = eid % nvox
+        ek = rem // (ny * nx)
+        ej = (rem // nx) % ny
+        ei = rem % nx
+
+        # crossing points
+        pt = jnp.stack(
+            [
+                origin[0] + ei.astype(jnp.float32) * res,
+                origin[1] + ej.astype(jnp.float32) * res,
+                origin[2] + ek.astype(jnp.float32) * res,
+            ],
+            axis=-1,
+        )
+        bump = tv * res
+        pt = pt + jnp.stack(
+            [
+                jnp.where(eax == 0, bump, 0.0),
+                jnp.where(eax == 1, bump, 0.0),
+                jnp.where(eax == 2, bump, 0.0),
+            ],
+            axis=-1,
+        )
+        # central-difference normals on the compacted set, pre-scaled by
+        # 1/norm_step (solution-invariant uniform row scaling, see above)
+        eye = jnp.eye(3, dtype=jnp.float32) * half
+        nrm = jnp.stack(
+            [
+                (tree.distance(pt + eye[d]) - tree.distance(pt - eye[d]))
+                * inv_step
+                for d in range(3)
+            ],
+            axis=-1,
+        )  # (A,3)
+
+        # --- edge -> voxel contributions (A,5) ------------------------
+        SENT = nvox  # sentinel: sorts after every valid voxel id
+        con_vox = []
+        for c in range(5):
+            di = jnp.select(
+                [eax == 0, eax == 1], [_OFF5[0][c][0], _OFF5[1][c][0]],
+                _OFF5[2][c][0],
+            )
+            dj = jnp.select(
+                [eax == 0, eax == 1], [_OFF5[0][c][1], _OFF5[1][c][1]],
+                _OFF5[2][c][1],
+            )
+            dk = jnp.select(
+                [eax == 0, eax == 1], [_OFF5[0][c][2], _OFF5[1][c][2]],
+                _OFF5[2][c][2],
+            )
+            ii2, jj2, kk2 = ei + di, ej + dj, ek + dk
+            ok = (
+                valid
+                & (ii2 >= 0) & (ii2 < nx)
+                & (jj2 >= 0) & (jj2 < ny)
+                & (kk2 >= 0) & (kk2 < nz)
+            )
+            lin = (kk2 * ny + jj2) * nx + ii2
+            con_vox.append(jnp.where(ok, lin, SENT))
+        con_vox = jnp.stack(con_vox, axis=1).reshape(-1)  # (5A,)
+
+        order = jnp.argsort(con_vox)
+        sorted_vox = con_vox[order]
+        src_slot = order // 5  # originating edge slot
+        prev = jnp.concatenate(
+            [jnp.full((1,), -1, sorted_vox.dtype), sorted_vox[:-1]]
+        )
+        live = sorted_vox != SENT
+        uniq = live & (sorted_vox != prev)
+        seg = jnp.cumsum(uniq.astype(jnp.int32)) - 1
+        n_vox = seg[-1] + 1
+        seg_ids = jnp.where(live, seg, W)  # W = drop
+
+        # unique voxel ids, ascending, trailing slots = SENT
+        uvox = jnp.full((W + 1,), SENT, jnp.int32).at[
+            jnp.where(uniq, seg, W)
+        ].set(sorted_vox, mode="drop")[:W]
+
+        # contribution payloads gathered through the sort
+        ncon = jnp.where(live[:, None], nrm[src_slot], 0.0)  # (5A,3)
+        # q in normalized voxel coords: (pt - origin)/res - voxel index
+        vk = sorted_vox // (ny * nx)
+        vj = (sorted_vox // nx) % ny
+        vi = sorted_vox % nx
+        qcon = (pt[src_slot] - origin[None, :]) / res - jnp.stack(
+            [vi, vj, vk], axis=-1
+        ).astype(jnp.float32)
+        qcon = jnp.where(live[:, None], qcon, 0.0)
+        ndq = jnp.sum(ncon * qcon, axis=-1)  # n . q per row
+
+        payload = jnp.concatenate(
+            [
+                ncon[:, 0:1] * ncon,                       # xx, xy, xz
+                ncon[:, 1:2] * ncon[:, 1:],                # yy, yz
+                ncon[:, 2:3] * ncon[:, 2:],                # zz
+                ncon * ndq[:, None],                       # Atb
+                qcon,                                      # q sums
+                live[:, None].astype(jnp.float32),         # count
+            ],
+            axis=1,
+        )  # (5A, 13)
+        sums = jax.ops.segment_sum(
+            payload, seg_ids, num_segments=W, indices_are_sorted=True
+        )  # (W,13)
+
+        cnt = jnp.maximum(sums[:, 12], 1.0)
+        bias = sums[:, 9:12] / cnt[:, None]
+        l2 = lam * lam
+        axx = sums[:, 0] + l2
+        axy = sums[:, 1]
+        axz = sums[:, 2]
+        ayy = sums[:, 3] + l2
+        ayz = sums[:, 4]
+        azz = sums[:, 5] + l2
+        # solve shifted to the bias point: with x = bias + y the system
+        # (M+l2*I)y = Atb - M*bias has ~zero right-hand side along
+        # M's (near-)null directions, so the f32 solve returns y ~ 0
+        # there (x -> bias, exactly the regularization's intent) instead
+        # of amplifying rounding noise by 1/l2 — without this shift the
+        # chiseled mode (l2 = 1e-5 against O(1) normal rows) wanders up
+        # to the full clamp range on planar voxels
+        bx = sums[:, 6] - (
+            sums[:, 0] * bias[:, 0] + axy * bias[:, 1] + axz * bias[:, 2]
+        )
+        by = sums[:, 7] - (
+            axy * bias[:, 0] + sums[:, 3] * bias[:, 1] + ayz * bias[:, 2]
+        )
+        bz = sums[:, 8] - (
+            axz * bias[:, 0] + ayz * bias[:, 1] + sums[:, 5] * bias[:, 2]
+        )
+
+        # Batched 3x3 symmetric solve via Jacobi eigendecomposition with
+        # a spectral floor. An adjugate/Cramer solve is unusable here in
+        # f32: for near-rank-1 M (planar voxels) the true determinant
+        # ~c*l2^2 sits far below the rounding noise of the cofactor
+        # products, and the quotient wanders across the full clamp range
+        # on a handful of voxels. Eigenvalues of a symmetric matrix are
+        # stable to entry perturbation (Weyl), and for clustered
+        # eigenvalues the 1/(lam+l2) weights agree, so eigenvector
+        # instability inside a cluster cancels. Directions whose
+        # eigenvalue is below the f32 noise floor of M are damped to the
+        # bias point (y=0 there) — exactly the regularization's intent.
+        M = jnp.stack(
+            [
+                jnp.stack([axx, axy, axz], -1),
+                jnp.stack([axy, ayy, ayz], -1),
+                jnp.stack([axz, ayz, azz], -1),
+            ],
+            -2,
+        )  # (W,3,3)
+        tr = axx + ayy + azz
+        Vv = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), M.shape)
+        Mw = M
+        for _sweep in range(5):
+            for (pp, qq) in ((0, 1), (0, 2), (1, 2)):
+                theta = 0.5 * jnp.arctan2(
+                    2.0 * Mw[:, pp, qq], Mw[:, qq, qq] - Mw[:, pp, pp]
+                )
+                cth = jnp.cos(theta)
+                sth = jnp.sin(theta)
+                G = jnp.broadcast_to(
+                    jnp.eye(3, dtype=jnp.float32), M.shape
+                )
+                G = G.at[:, pp, pp].set(cth).at[:, qq, qq].set(cth)
+                G = G.at[:, pp, qq].set(sth).at[:, qq, pp].set(-sth)
+                Mw = jnp.einsum("wij,wjk,wkl->wil", G.transpose(0, 2, 1), Mw, G)
+                Vv = jnp.einsum("wij,wjk->wik", Vv, G)
+        lam3 = jnp.stack([Mw[:, 0, 0], Mw[:, 1, 1], Mw[:, 2, 2]], -1)
+        # spectral floor: eigenvalues below the accumulated-f32 noise of
+        # M are indistinguishable from zero; l2 already floors the well-
+        # conditioned case
+        floor = jnp.maximum(l2, 1e-6 * tr)[:, None]
+        w = 1.0 / (jnp.maximum(lam3, 0.0) + floor)
+        rhs = jnp.stack([bx, by, bz], -1)
+        y = jnp.einsum(
+            "wij,wj->wi", Vv, w * jnp.einsum("wji,wj->wi", Vv, rhs)
+        )
+        x = jnp.clip(bias + y, -0.1, 1.1)
+        uk = uvox // (ny * nx)
+        uj = (uvox // nx) % ny
+        ui = uvox % nx
+        vo = jnp.stack([ui, uj, uk], axis=-1).astype(jnp.float32) * res
+        verts = jnp.where(
+            (uvox != SENT)[:, None], origin[None, :] + vo + x * res, 0.0
+        )  # (W,3)
+
+        # --- quad corner slots per edge -------------------------------
+        vid = []
+        quad_ok = valid
+        for c in range(4):
+            lin = con_vox.reshape(-1, 5)[:, c]
+            ok = lin != SENT
+            slot = jnp.searchsorted(uvox, lin).astype(jnp.int32)
+            slot_c = jnp.minimum(slot, W - 1)
+            ok = ok & (uvox[slot_c] == lin)
+            quad_ok = quad_ok & ok
+            vid.append(slot_c)
+        vid = jnp.stack(vid, axis=1)  # (A,4)
+        vid = jnp.where(quad_ok[:, None], vid, -1)
+        fv = (
+            quad_ok.astype(jnp.int32)
+            | (eflip.astype(jnp.int32) << 1)
+            | (eax << 2)
+        )
+
+        counts = jnp.stack([n_edges, n_vox])
+        return jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(counts, jnp.float32),
+                verts.reshape(-1),
+                jax.lax.bitcast_convert_type(vid.reshape(-1), jnp.float32),
+                jax.lax.bitcast_convert_type(fv, jnp.float32),
+            ]
+        )
+
+    jitted = jax.jit(impl)
+
+    def fn(origin, res, _jitted=jitted, _dev=device):
+        with jax.default_device(_dev):
+            return _jitted(jax.device_put(np.asarray(origin, _f32), _dev), _f32(res))
+
+    _dc_cache[key] = fn
+    return fn
+
+
 class DualContourRenderer:
-    """Voxel dual contouring to a quad-derived triangle mesh."""
+    """Voxel dual contouring to a quad-derived triangle mesh.
+
+    Two QEF backends:
+    - device (default): the fully-on-device pipeline (_dc_mesh_fn) —
+      batched 3x3 normal-equations solve vmapped over active voxels,
+      f32 with uniformly scaled rows (SURVEY §7's prescription); the
+      fetch is surface-sized.
+    - host_qef=True: the float64 host path matching the reference's MGS
+      semantics row-for-row (dual_contour_vertexplacement.go:25-141) —
+      the parity oracle the device path is tested against.
+    """
 
     def __init__(
         self,
@@ -172,6 +502,7 @@ class DualContourRenderer:
         res: float,
         contourer: DualContourLeastSquares | None = None,
         device=None,
+        host_qef: bool = False,
     ):
         if res <= 0:
             raise ValueError("invalid dual contour resolution")
@@ -188,6 +519,7 @@ class DualContourRenderer:
         self.nz = int(math.ceil(_f32(sz[2]) / self.res)) + 1
         self.origin = bb.min
         self._evaluations = 0
+        self.host_qef = bool(host_qef)
 
     def evaluations(self) -> int:
         """Distinct SDF points evaluated — same contract as
@@ -195,6 +527,74 @@ class DualContourRenderer:
         return self._evaluations
 
     def render(self) -> np.ndarray:
+        if self.host_qef:
+            return self._render_host()
+        return self._render_device()
+
+    def _render_device(self) -> np.ndarray:
+        """Fully-on-device pipeline; host work is one fetch plus the
+        final quad gather."""
+        from ..ops.marching_cubes import _bucket
+
+        res = float(self.res)
+        nk, nj, ni = self.nz + 1, self.ny + 1, self.nx + 1
+        nvox = self.nz * self.ny * self.nx
+        hint_key = ("mhint", self.s.tree_hash(), (nk, nj, ni))
+        hint = _dc_cache.get(hint_key)
+        if hint is not None:
+            a_size, w_size = hint
+        else:
+            a_size = _bucket(int(12 * max(nvox, 1) ** (2 / 3)) + 4096)
+            w_size = a_size
+        while True:
+            fn = _dc_mesh_fn(
+                self.s, (nk, nj, ni), a_size, w_size,
+                self.contourer.norm_step, self.contourer.sqrt_lambda,
+                self.device,
+            )
+            packed = np.asarray(fn(self.origin, res))
+            n_edges, n_vox = (int(x) for x in packed[:2].view(np.int32))
+            if n_edges <= a_size and n_vox <= w_size:
+                break
+            if n_edges > a_size:
+                a_size = _bucket(n_edges, granule=16384)
+            if n_vox > w_size:
+                w_size = _bucket(n_vox, granule=16384)
+        # store the sizes actually compiled (grow-only discipline): a
+        # re-bucketed-down hint would compile a second executable for the
+        # same object on the next render
+        _dc_cache[hint_key] = (a_size, w_size)
+        self._evaluations += nk * nj * ni + 6 * n_edges
+        off = 2
+        verts = packed[off : off + 3 * w_size].reshape(-1, 3)
+        off += 3 * w_size
+        vid = packed[off : off + 4 * a_size].view(np.int32).reshape(-1, 4)
+        off += 4 * a_size
+        fv = packed[off : off + a_size].view(np.int32)
+        vid = vid[:n_edges]
+        fv = fv[:n_edges]
+        ok = (fv & 1) == 1
+        flip = (fv & 2) != 0
+        axis = fv >> 2
+        tris = []
+        blocks = []
+        # per-axis two-block emission, identical order to the host path
+        for a in range(3):
+            m = ok & (axis == a)
+            if not m.any():
+                continue
+            quads = verts[vid[m]]  # (E,4,3)
+            f = flip[m]
+            quads[f] = quads[f][:, ::-1, :]
+            tris.append(quads[:, [0, 1, 2], :])
+            tris.append(quads[:, [2, 3, 0], :])
+            blocks += [int(m.sum())] * 2
+        if not tris:
+            return np.empty((0, 3, 3), _f32)
+        self._debug_blocks = blocks
+        return np.concatenate(tris, axis=0).astype(_f32)
+
+    def _render_host(self) -> np.ndarray:
         res = float(self.res)
         # corner grid (planes): voxel (i,j,k) origin distance = grid[k,j,i],
         # its +x/+y/+z edge-end distances are the adjacent entries.
@@ -218,7 +618,9 @@ class DualContourRenderer:
             if n_edges <= a_size:
                 break
             a_size = _bucket(n_edges, granule=16384)
-        _dc_cache[hint_key] = _bucket(max(n_edges, 1), granule=16384)
+        # store the size actually compiled (grow-only): re-bucketing the
+        # hint down would force a second executable on the next render
+        _dc_cache[hint_key] = a_size
         self._evaluations += nk * nj * ni
         idw = packed[1 : 1 + n_edges].view(np.int32)
         tv = packed[1 + a_size : 1 + a_size + n_edges]
