@@ -95,15 +95,25 @@ def _pack_u8(vals, valid, A):
     return v4[:, 0] | (v4[:, 1] << 8) | (v4[:, 2] << 16) | (v4[:, 3] << 24)
 
 
-def _pack_payload(ids, idx8, valid, t, A, E, V, n_active):
+def _blk_slots(a_size: int) -> int:
+    """Default block-slot budget for the hierarchical compaction: half
+    the active-cube budget is conservative (measured 8-block occupancy is
+    ~0.32*n_active on the flange) yet still cuts the dominant sort from
+    n/8 + 8*a to n/8 + 4*a keys. Warm renders tighten it further via the
+    remembered hint (the true n_blk is in the payload header)."""
+    return max(4096, int(a_size) // 2)
+
+
+def _pack_payload(ids, idx8, valid, t, A, E, V, n_active, n_blk):
     """Shared payload packing for the PRODUCTION (id-ascending) emit:
     cube ids are delta-encoded to u8 with an i32 exception table (rows
     whose delta >= 255 store the 255 escape marker; the true delta goes
-    to the table). n_active/n_exc are the TRUE counts (may exceed A/E —
-    the caller's grow-and-retry contract depends on reporting them
-    unclamped; `valid` saturates at A and must not be used for counts).
-    Returns the packed 1-D f32 buffer
-    [n_active, n_verts, n_exc, version (bitcast i32),
+    to the table). n_active/n_exc/n_blk are the TRUE counts (may exceed
+    A/E/block slots — the caller's grow-and-retry contract depends on
+    reporting them unclamped; `valid` saturates at A and must not be
+    used for counts).
+    Returns the packed 1-D f32 buffer (v3)
+    [n_active, n_verts, n_exc, version (bitcast i32), n_blk,
      id deltas u8 packed 4/word (A/4), case bytes packed 4/word (A/4),
      exc_pos (E i32), exc_delta (E i32), t (V f32)]."""
     n_verts, tvals = _crossing_t(idx8, valid, t, V)
@@ -123,7 +133,7 @@ def _pack_payload(ids, idx8, valid, t, A, E, V, n_active):
     exc_delta = jnp.where(evalid, delta[psafe], 0).astype(jnp.int32)
 
     counts = jnp.stack(
-        [n_active, n_verts, n_exc, jnp.asarray(2, n_active.dtype)]
+        [n_active, n_verts, n_exc, jnp.asarray(3, n_active.dtype), n_blk]
     )
     return jnp.concatenate(
         [
@@ -138,17 +148,18 @@ def _pack_payload(ids, idx8, valid, t, A, E, V, n_active):
 
 
 def unpack_compact_payload(packed, a_size, e_size):
-    """Host-side unpack of the v2 buffer -> (ids u32, cases u8,
-    tvals f32, (n_active, n_verts, n_exc)). ids are reconstructed with
-    one cumsum over the patched delta stream — bit-identical to the
-    pre-delta ids (lossless encoding). Counts may exceed a_size/e_size
-    (overflow): rows are then truncated and the caller must retry."""
+    """Host-side unpack of the v3 buffer -> (ids u32, cases u8,
+    tvals f32, (n_active, n_verts, n_exc, n_blk)). ids are reconstructed
+    with one cumsum over the patched delta stream — bit-identical to the
+    pre-delta ids (lossless encoding). Counts may exceed a_size/e_size/
+    the emit's block-slot budget (overflow): rows are then truncated or
+    dropped and the caller must retry."""
     packed = np.ascontiguousarray(packed)
     A, E = int(a_size), int(e_size)
-    hdr = packed[:4].view(np.int32)
-    na, nv, ne = int(hdr[0]), int(hdr[1]), int(hdr[2])
+    hdr = packed[:5].view(np.int32)
+    na, nv, ne, nblk = int(hdr[0]), int(hdr[1]), int(hdr[2]), int(hdr[4])
     na_c, ne_c = min(na, A), min(ne, E)
-    off = 4
+    off = 5
     d8 = packed[off : off + A // 4].view(np.uint8)[:na_c]
     off += A // 4
     cases = packed[off : off + A // 4].view(np.uint8)[:na_c]
@@ -161,7 +172,7 @@ def unpack_compact_payload(packed, a_size, e_size):
     deltas = d8.astype(np.int64)
     deltas[exc_pos] = exc_delta
     ids = np.cumsum(deltas).astype(np.uint32)
-    return ids, cases, tvals, (na, nv, ne)
+    return ids, cases, tvals, (na, nv, ne, nblk)
 
 
 def _pack_payload_full_ids(ids, idx8, valid, t, A, V, n_active):
@@ -203,7 +214,7 @@ def unpack_compact_payload_full_ids(packed, a_size):
     return ids, cases, tvals, (na, nv)
 
 
-def compact_emit(grid, res, a_size, e_size, v_size):
+def compact_emit(grid, res, a_size, e_size, v_size, blk_size=None):
     """Classify -> compact -> owner-edge-t -> packed buffer. The ONE
     compact-field emit implementation, shared by the single-device builder
     below, the sharded step (parallel/sharded.py) and the tile-pruned
@@ -212,18 +223,26 @@ def compact_emit(grid, res, a_size, e_size, v_size):
 
     grid: (nkg, nj, ni) corner distances; every cube between grid planes
     is classified, so a sharded caller passes its slab plus one +z halo
-    plane. Returns the v2 packed 1-D f32 buffer (delta-encoded slab-local
+    plane. Returns the v3 packed 1-D f32 buffer (delta-encoded slab-local
     ids — see the module docstring / unpack_compact_payload).
+
+    blk_size bounds the hierarchical compaction's block slots (the
+    largest remaining device term is this sort); the TRUE block count
+    travels in the header so overflow is an explicit retry, never silent
+    truncation. None = the conservative _blk_slots(a_size) default.
     """
     nkg, nj, ni = grid.shape
     nx, ny = ni - 1, nj - 1
     A = int(a_size)
     E = int(e_size)
     V = int(v_size)
+    BLK = _blk_slots(A) if blk_size is None else int(blk_size)
 
     index, active = mc_emit.classify(grid, res)
     n_active = jnp.sum(active.astype(jnp.int32))
-    cube_id = mc_emit.compact_indices(active.reshape(-1), A)
+    cube_id, n_blk = mc_emit.compact_indices_blocks(
+        active.reshape(-1), A, BLK
+    )
     valid = cube_id >= 0
     safe = jnp.maximum(cube_id, 0)
 
@@ -239,7 +258,7 @@ def compact_emit(grid, res, a_size, e_size, v_size):
     strides = jnp.asarray(np.array([0, 1, ni, nj * ni], np.int32))
     v4 = gflat[base_lin[:, None] + strides[None, :]]  # (A,4): v0,vx,vy,vz
     t = _owner_edge_t(v4[:, 0:1], v4[:, 1:])  # (A,3)
-    return _pack_payload(safe, idx8, valid, t, A, E, V, n_active)
+    return _pack_payload(safe, idx8, valid, t, A, E, V, n_active, n_blk)
 
 
 def tile_compact_emit(grid, tile_ijk, dims, res, a_size, v_size):
@@ -362,22 +381,27 @@ def merge_compact_payloads(parts):
 
 
 def build_compact_field(
-    tree, shape, a_size, e_size, v_size, device, parametric=False
+    tree, shape, a_size, e_size, v_size, device, parametric=False,
+    blk_size=None,
 ):
-    """Compiled (origin, res, k0[, params]) -> v2 packed 1-D f32 buffer
-    (4 + a_size/4 + a_size/4 + 2*e_size + v_size f32 words; see the
+    """Compiled (origin, res, k0[, params]) -> v3 packed 1-D f32 buffer
+    (5 + a_size/4 + a_size/4 + 2*e_size + v_size f32 words; see the
     module docstring for the layout). a_size must be a multiple of 4.
     """
+    BLK = _blk_slots(a_size) if blk_size is None else int(blk_size)
     if parametric:
         from ..eval.parametric import _bind_params, param_spec, structural_hash
 
         tree.tree_hash()  # pre-cache node hashes before tracer binding
         key = (
             "param", structural_hash(tree), tuple(shape),
-            a_size, e_size, v_size, device,
+            a_size, e_size, v_size, BLK, device,
         )
     else:
-        key = (tree.tree_hash(), tuple(shape), a_size, e_size, v_size, device)
+        key = (
+            tree.tree_hash(), tuple(shape), a_size, e_size, v_size, BLK,
+            device,
+        )
     fn = _cache.get(key)
     if fn is not None:
         return fn
@@ -401,7 +425,7 @@ def build_compact_field(
             axis=-1,
         )
         grid = tree.distance(p)
-        return compact_emit(grid, res, A, E, V)
+        return compact_emit(grid, res, A, E, V, blk_size=BLK)
 
     if parametric:
         spec = param_spec(tree)
@@ -458,16 +482,24 @@ def compact_field_render(
     if size_hint is None:
         size_hint = _cache.get(hint_key)
     if size_hint:
-        a_size, v_size, e_size = size_hint
+        # 3-tuple hints (older callers/tests) get the conservative
+        # default block budget
+        if len(size_hint) == 4:
+            a_size, v_size, e_size, blk_size = size_hint
+        else:
+            a_size, v_size, e_size = size_hint
+            blk_size = _blk_slots(a_size)
     else:
         est = int(12 * ncubes ** (2 / 3)) + 4096
         a_size = _bucket(min(est, ncubes))
         v_size = _bucket(int(a_size * 1.5))
         e_size = _bucket(max(4096, a_size // 8), granule=4096)
+        blk_size = _blk_slots(a_size)
     origin = np.asarray(origin, _f32)
     while True:
         fn = build_compact_field(
-            tree, shape, a_size, e_size, v_size, device, parametric=parametric
+            tree, shape, a_size, e_size, v_size, device,
+            parametric=parametric, blk_size=blk_size,
         )
         if parametric:
             packed = np.asarray(
@@ -475,14 +507,30 @@ def compact_field_render(
             )
         else:
             packed = np.asarray(fn(jnp.asarray(origin), _f32(res), k0=_f32(k0)))
-        ids, cases, tvals, (n_active, n_verts, n_exc) = unpack_compact_payload(
-            packed, a_size, e_size
+        ids, cases, tvals, (n_active, n_verts, n_exc, n_blk) = (
+            unpack_compact_payload(packed, a_size, e_size)
         )
-        if n_active <= a_size and n_verts <= v_size and n_exc <= e_size:
+        if (
+            n_active <= a_size
+            and n_verts <= v_size
+            and n_exc <= e_size
+            and n_blk <= blk_size
+        ):
+            # warm block budget: the TRUE occupancy +25% headroom keeps
+            # the dominant sort tight on repeat renders; n_blk == 0 means
+            # the hierarchy didn't engage (small grid) — keep the
+            # conservative default so a later engage can't start from a
+            # guaranteed-overflow budget
+            hint_blk = (
+                min(blk_size, _bucket(int(n_blk * 1.25) + 1, granule=8192))
+                if n_blk
+                else _blk_slots(_bucket(n_active, granule=16384))
+            )
             hint = (
                 _bucket(n_active, granule=16384),
                 _bucket(n_verts, granule=16384),
                 _bucket(max(4096, n_exc), granule=4096),
+                hint_blk,
             )
             if parametric:
                 prev = _cache.get(hint_key)
@@ -496,6 +544,8 @@ def compact_field_render(
             v_size = _bucket(n_verts, granule=16384)
         if n_exc > e_size:
             e_size = _bucket(n_exc, granule=4096)
+        if n_blk > blk_size:
+            blk_size = _bucket(n_blk, granule=8192)
 
 
 def compact_field_render_slabbed(
@@ -529,7 +579,12 @@ def compact_field_render_slabbed(
     ncubes_slab = nx * ny * max(max_dk, 1)
     est = int(12 * ncubes_slab ** (2 / 3)) + 4096
     a0 = _bucket(min(est, ncubes_slab))
-    hint = (a0, _bucket(int(a0 * 1.5)), _bucket(max(4096, a0 // 8), granule=4096))
+    hint = (
+        a0,
+        _bucket(int(a0 * 1.5)),
+        _bucket(max(4096, a0 // 8), granule=4096),
+        _blk_slots(a0),
+    )
     if parametric:
         from ..eval.parametric import structural_hash
 

@@ -181,6 +181,46 @@ def compact_indices(mask_flat, size, method: str = "sort"):
     return out[:size]
 
 
+def compact_indices_blocks(mask_flat, size, block_slots):
+    """Hierarchical order-preserving compaction with an EXPLICIT block-slot
+    budget, returning (idx (size,), n_blk true block count i32).
+
+    The two-level sort (compact active 8-blocks, expand survivors,
+    compact candidates) costs n/8 + 8*block_slots sort keys instead of
+    n. `compact_indices` pins block_slots = size so block overflow is
+    impossible; here the caller may pass a TIGHT budget (measured block
+    occupancy is ~0.32*n_active on the flange) — which is safe ONLY
+    because the true block count is returned for an in-band overflow
+    signal: when n_blk > block_slots the result has silently dropped
+    active cubes and the caller MUST grow block_slots and retry (the
+    compact-field payload header carries n_blk for exactly this,
+    mirroring the n_active/n_exc grow-and-retry contract).
+
+    When the hierarchy doesn't pay (small grids or block_slots close to
+    n/8) this falls back to the flat sort and reports n_blk = 0 (never
+    overflows)."""
+    n = mask_flat.shape[0]
+    B = 8
+    if n <= (1 << 21) or B * int(block_slots) >= n or n >= (1 << 30):
+        return compact_indices(mask_flat, size), jnp.zeros((), jnp.int32)
+    npad = -(-n // B) * B
+    mpad = jnp.pad(mask_flat, (0, npad - n)) if npad != n else mask_flat
+    blk_any = mpad.reshape(npad // B, B).any(axis=1)
+    n_blk = jnp.sum(blk_any.astype(jnp.int32))
+    blk_idx = compact_indices(blk_any, int(block_slots), method="sort")
+    valid_blk = blk_idx >= 0
+    cand = (
+        jnp.maximum(blk_idx, 0)[:, None] * B
+        + jnp.arange(B, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    cand_active = mpad[cand] & jnp.repeat(valid_blk, B)
+    pos = compact_indices(cand_active, size, method="sort")
+    out = jnp.where(pos >= 0, cand[jnp.maximum(pos, 0)], -1)
+    n_active = jnp.sum(mask_flat.astype(jnp.int32))
+    idx = jnp.where(jnp.arange(size, dtype=jnp.int32) < n_active, out, -1)
+    return idx, n_blk
+
+
 def gather_corners(grid_flat, base_lin, stride_j, stride_k):
     """Gather the 8 corner values per cube. base_lin (A,) is each cube's
     origin-corner linear index in grid_flat; strides give the +j / +k

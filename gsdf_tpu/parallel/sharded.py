@@ -132,7 +132,7 @@ _step_cache: dict = {}
 
 def sharded_compact_step(
     tree: Shader3D, mesh: Mesh, shape, a_size: int, v_size: int,
-    e_size: int = 8192, parametric: bool = False,
+    e_size: int = 8192, parametric: bool = False, blk_size=None,
 ):
     """Multi-chip COMPACT-FIELD render step (the production path,
     ops/compact_field.py, sharded): each shard evaluates its z-slab
@@ -157,7 +157,7 @@ def sharded_compact_step(
     single-device zero-recompile editing story (eval/parametric.py),
     extended to the mesh. Steps are cached per (tree, shape, sizes, mesh).
     """
-    from ..ops.compact_field import compact_emit
+    from ..ops.compact_field import _blk_slots, compact_emit
 
     nk, nj, ni = (int(x) for x in shape)
     n_dev = mesh.devices.size
@@ -169,21 +169,27 @@ def sharded_compact_step(
         raise ValueError("a_size must be a multiple of 4")
     E = int(e_size)
     V = int(v_size)
+    BLK = _blk_slots(A) if blk_size is None else int(blk_size)
 
     if parametric:
         from ..eval.parametric import _bind_params, param_spec, structural_hash
 
         tree.tree_hash()  # pre-cache node hashes before tracer binding
-        key = ("param", structural_hash(tree), tuple(shape), A, E, V, mesh)
+        key = ("param", structural_hash(tree), tuple(shape), A, E, V, BLK, mesh)
     else:
-        key = (tree.tree_hash(), tuple(shape), A, E, V, mesh)
+        key = (tree.tree_hash(), tuple(shape), A, E, V, BLK, mesh)
     cached = _step_cache.get(key)
     if cached is not None:
         return cached
 
-    def body(origin, res):
+    def body(origin, res, k_base):
         me = jax.lax.axis_index(AXIS)
-        k0 = me * nk_local
+        # k_base (traced, replicated) offsets this dispatch within the
+        # global layer space: the slab-chunk composition re-dispatches one
+        # executable per z-chunk (render_sharded_compact max_points_per_
+        # shard); k_base=0 is the classic whole-grid call. Integer layer
+        # indices stay exact in f32.
+        k0 = me * nk_local + k_base
         iz = jax.lax.broadcasted_iota(jnp.float32, (nk_local + 1, nj, ni), 0) + k0
         iy = jax.lax.broadcasted_iota(jnp.float32, (nk_local + 1, nj, ni), 1)
         ix = jax.lax.broadcasted_iota(jnp.float32, (nk_local + 1, nj, ni), 2)
@@ -192,10 +198,23 @@ def sharded_compact_step(
             axis=-1,
         )
         grid = tree.distance(p)  # local slab + one +z halo plane
-        return compact_emit(grid, res, A, E, V)[None]
+        return compact_emit(grid, res, A, E, V, blk_size=BLK)[None]
 
     if parametric:
         spec = param_spec(tree)
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=P(AXIS, None),
+            check_vma=False,  # see sharded_grid_eval
+        )
+        def step(origin, res, k_base, flat):
+            with _bind_params(spec, flat):
+                return body(origin, res, k_base)
+
+    else:
 
         @functools.partial(
             shard_map,
@@ -204,21 +223,8 @@ def sharded_compact_step(
             out_specs=P(AXIS, None),
             check_vma=False,  # see sharded_grid_eval
         )
-        def step(origin, res, flat):
-            with _bind_params(spec, flat):
-                return body(origin, res)
-
-    else:
-
-        @functools.partial(
-            shard_map,
-            mesh=mesh,
-            in_specs=(P(), P()),
-            out_specs=P(AXIS, None),
-            check_vma=False,  # see sharded_grid_eval
-        )
-        def step(origin, res):
-            return body(origin, res)
+        def step(origin, res, k_base):
+            return body(origin, res, k_base)
 
     jitted = jax.jit(step)
     _step_cache[key] = jitted
@@ -226,7 +232,8 @@ def sharded_compact_step(
 
 
 def render_sharded_compact(
-    tree: Shader3D, mesh: Mesh, res: float, size_hint=None, parametric=False
+    tree: Shader3D, mesh: Mesh, res: float, size_hint=None, parametric=False,
+    max_points_per_shard=None,
 ):
     """Multi-chip production render: returns (verts (V,3) f32,
     tri_idx (T,3) i32) — identical arrays to the single-device
@@ -236,7 +243,18 @@ def render_sharded_compact(
     (structurally identical) tree reuses the mesh executable with zero
     new compiles — the same contract as render_compact(parametric=True),
     scaled out. Payload-size hints are remembered per structure and only
-    grow, so successive edits don't thrash (a_size, v_size) shapes."""
+    grow, so successive edits don't thrash (a_size, v_size) shapes.
+
+    max_points_per_shard composes sharding with the slab dispatch (the
+    single-device compact_field_render_slabbed discipline, docs/
+    MULTICHIP.md): when one whole-grid dispatch would exceed a shard's
+    memory gate, the global z-layer space is partitioned into chunks of
+    c_local*n_dev layers, dispatched through ONE executable with a
+    traced k_base operand — slab positions stay bit-exact with the
+    whole-grid render, and chunk payloads concatenate into exactly the
+    whole-grid payload. The int32 cube-id space (MAX_CUBES) still bounds
+    the GRID: past 2^31 cubes the wire format's u32 ids would wrap, so
+    the path raises cleanly instead."""
     import math as _math
 
     from ..native import mc_decode
@@ -252,67 +270,106 @@ def render_sharded_compact(
     nk = nz + 1
     if nk % n_dev:
         nk += n_dev - nk % n_dev
-    shape = (nk, ny + 1, nx + 1)
-    nz_padded = nk - 1  # decode space includes padded (inactive) slabs
+
+    # slab-chunk composition: chunks of C = c_local*n_dev cube layers,
+    # one shared executable re-dispatched with k_base = chunk*C
+    plane = (ny + 1) * (nx + 1)
+    if max_points_per_shard is not None:
+        c_local = max(1, int(max_points_per_shard) // plane - 1)
+        C = c_local * n_dev
+        n_chunks = -(-nk // C)
+    else:
+        c_local = nk // n_dev
+        C = nk
+        n_chunks = 1
+    nk_total = n_chunks * C  # padded; extra layers cull in the far field
+    shape = (C, ny + 1, nx + 1)
+    nz_padded = nk_total - 1  # decode space includes padded slabs
     from ..ops.compact_field import MAX_CUBES
 
     if nx * ny * nz_padded >= MAX_CUBES:
-        # global ids (local + d*nk_local*nx*ny) and the decoder's slot map
-        # are int32-bounded, same limit as the single-device builder
+        # global ids (local + (chunk*C + d*c_local)*nx*ny) and the
+        # decoder's slot map are int32-bounded, same limit as the
+        # single-device builder
         raise ValueError("grid too large for int32 cube ids")
     origin = _replicated(mesh, bb.min)
     res_dev = _replicated(mesh, res32)
     if parametric:
         from ..eval.parametric import pack_params, structural_hash
 
-        hint_key = ("shard-hint", structural_hash(tree), shape, mesh)
+        hint_key = ("shard-hint", structural_hash(tree), shape, n_chunks, mesh)
         params = _replicated(mesh, pack_params(tree))
     else:
         hint_key = None
         params = None
     if size_hint is None and hint_key is not None:
         size_hint = _step_cache.get(hint_key)
+    from ..ops.compact_field import _blk_slots, unpack_compact_payload
+
     if size_hint:
-        a_size, v_size, e_size = size_hint
+        if len(size_hint) == 4:
+            a_size, v_size, e_size, blk_size = size_hint
+        else:
+            a_size, v_size, e_size = size_hint
+            blk_size = _blk_slots(a_size)
     else:
-        ncubes_local = nx * ny * (nk // n_dev)
+        ncubes_local = nx * ny * c_local
         est = int(12 * ncubes_local ** (2 / 3)) + 4096
         a_size = _bucket(min(est, ncubes_local))
         v_size = _bucket(int(a_size * 1.5))
         e_size = _bucket(max(4096, a_size // 8), granule=4096)
-    while True:
-        step = sharded_compact_step(
-            tree, mesh, shape, a_size, v_size, e_size, parametric=parametric
-        )
-        args = (origin, res_dev, params) if parametric else (origin, res_dev)
-        packed = np.ascontiguousarray(np.asarray(step(*args)))
-        counts = np.ascontiguousarray(packed[:, :4]).view(np.uint32)
-        worst_a = int(counts[:, 0].max(initial=0))
-        worst_v = int(counts[:, 1].max(initial=0))
-        worst_e = int(counts[:, 2].max(initial=0))
-        if worst_a <= a_size and worst_v <= v_size and worst_e <= e_size:
-            break
-        if worst_a > a_size:
-            a_size = _bucket(worst_a, granule=16384)
-        if worst_v > v_size:
-            v_size = _bucket(worst_v, granule=16384)
-        if worst_e > e_size:
-            e_size = _bucket(worst_e, granule=4096)
-    if hint_key is not None:
-        # grow-only: successive edits keep one executable per structure
-        _step_cache[hint_key] = (a_size, v_size, e_size)
-    nk_local = nk // n_dev
-    from ..ops.compact_field import unpack_compact_payload
+        blk_size = _blk_slots(a_size)
 
     ids_parts, case_parts, t_parts = [], [], []
-    for d in range(n_dev):
-        ids, cases_d, t_d, _counts = unpack_compact_payload(
-            packed[d], a_size, e_size
-        )
-        # local slab id -> global id (slab order IS global z-order)
-        ids_parts.append(ids + np.uint32(d * nk_local * nx * ny))
-        case_parts.append(cases_d)
-        t_parts.append(t_d)
+    for chunk in range(n_chunks):
+        kb = _replicated(mesh, np.float32(chunk * C))
+        # grow-only sizes shared across chunks: every chunk reuses one
+        # executable once sizes stabilize (slabbed-path discipline)
+        while True:
+            step = sharded_compact_step(
+                tree, mesh, shape, a_size, v_size, e_size,
+                parametric=parametric, blk_size=blk_size,
+            )
+            args = (
+                (origin, res_dev, kb, params)
+                if parametric
+                else (origin, res_dev, kb)
+            )
+            packed = np.ascontiguousarray(np.asarray(step(*args)))
+            counts = np.ascontiguousarray(packed[:, :5]).view(np.uint32)
+            worst_a = int(counts[:, 0].max(initial=0))
+            worst_v = int(counts[:, 1].max(initial=0))
+            worst_e = int(counts[:, 2].max(initial=0))
+            worst_b = int(counts[:, 4].max(initial=0))
+            if (
+                worst_a <= a_size
+                and worst_v <= v_size
+                and worst_e <= e_size
+                and worst_b <= blk_size
+            ):
+                break
+            if worst_a > a_size:
+                a_size = _bucket(worst_a, granule=16384)
+            if worst_v > v_size:
+                v_size = _bucket(worst_v, granule=16384)
+            if worst_e > e_size:
+                e_size = _bucket(worst_e, granule=4096)
+            if worst_b > blk_size:
+                blk_size = _bucket(worst_b, granule=8192)
+        for d in range(n_dev):
+            ids, cases_d, t_d, _counts = unpack_compact_payload(
+                packed[d], a_size, e_size
+            )
+            # local slab id -> global id (chunk-major, slab order IS
+            # global z-order)
+            ids_parts.append(
+                ids + np.uint32((chunk * C + d * c_local) * nx * ny)
+            )
+            case_parts.append(cases_d)
+            t_parts.append(t_d)
+    if hint_key is not None:
+        # grow-only: successive edits keep one executable per structure
+        _step_cache[hint_key] = (a_size, v_size, e_size, blk_size)
     ids = np.concatenate(ids_parts)
     cases = np.concatenate(case_parts)
     tvals = np.concatenate(t_parts).astype(_f32)

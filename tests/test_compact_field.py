@@ -271,6 +271,75 @@ def test_compact_indices_hierarchical():
         np.testing.assert_array_equal(flat, ref)
 
 
+def test_compact_indices_blocks_overflow_signal():
+    """The tightened block budget (compact_indices_blocks) must report
+    the TRUE block count so callers can detect overflow in-band — never
+    silent truncation. With enough slots the result is identical to the
+    safe compact_indices path."""
+    import jax.numpy as jnp
+
+    from gsdf_tpu.ops.mc_emit import compact_indices, compact_indices_blocks
+
+    rng = np.random.default_rng(7)
+    n, size = 4_200_000, 131072
+    mask = rng.random(n) < 0.02
+    npads = -(-n // 8) * 8
+    blocks_true = int(
+        np.pad(mask, (0, npads - n)).reshape(-1, 8).any(axis=1).sum()
+    )
+    ref = np.asarray(compact_indices(jnp.asarray(mask), size))
+
+    idx, n_blk = compact_indices_blocks(jnp.asarray(mask), size, blocks_true + 8)
+    assert int(n_blk) == blocks_true
+    np.testing.assert_array_equal(np.asarray(idx), ref)
+
+    # undersized block budget: the true count is still reported (the
+    # caller's grow-and-retry contract); the indices are NOT trusted
+    _idx_bad, n_blk2 = compact_indices_blocks(
+        jnp.asarray(mask), size, blocks_true // 2
+    )
+    assert int(n_blk2) == blocks_true  # overflow visible in-band
+
+    # small inputs: hierarchy disabled, flat result, n_blk = 0
+    small = rng.random(100_000) < 0.05
+    ref_s = np.asarray(compact_indices(jnp.asarray(small), 8192))
+    idx_s, nb_s = compact_indices_blocks(jnp.asarray(small), 8192, 4096)
+    assert int(nb_s) == 0
+    np.testing.assert_array_equal(np.asarray(idx_s), ref_s)
+
+
+def test_compact_render_tight_block_budget_retry():
+    """compact_field_render with a deliberately undersized block budget
+    in the hint must grow-and-retry to a payload identical to the
+    default run (the in-band n_blk header signal at work)."""
+    import jax
+
+    from gsdf_tpu.ops.compact_field import compact_field_render
+
+    bld2 = Builder()
+    part = bld2.smooth_union(
+        0.08, bld2.new_sphere(0.8), bld2.new_box(1.1, 1.1, 0.4, 0.05)
+    )
+    res = np.float32(float(part.bounds().diagonal()) / 300)
+    fr = FlatRenderer(part, res)
+    shape = (fr.nz + 1, fr.ny + 1, fr.nx + 1)
+    ncubes = fr.nx * fr.ny * fr.nz
+    assert ncubes > (1 << 21), "grid must engage the hierarchical path"
+    dev = jax.devices()[0]
+    ids, cases, tvals, hint = compact_field_render(
+        part, fr.origin, res, shape, dev
+    )
+    assert len(hint) == 4
+    ids2, cases2, tvals2, hint2 = compact_field_render(
+        part, fr.origin, res, shape, dev,
+        size_hint=(hint[0], hint[1], hint[2], 4096),
+    )
+    np.testing.assert_array_equal(ids, ids2)
+    np.testing.assert_array_equal(cases, cases2)
+    np.testing.assert_array_equal(tvals, tvals2)
+    assert hint2[3] > 4096  # the retry grew the block budget
+
+
 def test_delta_payload_roundtrip_and_escape_retry():
     """The v2 wire format's delta encoding is LOSSLESS: decoded ids equal
     the pre-delta ids for payloads with large inter-cube gaps (escapes),

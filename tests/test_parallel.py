@@ -136,6 +136,35 @@ def test_render_sharded_compact_overflow_retry():
     np.testing.assert_array_equal(st, ct)
 
 
+def test_render_sharded_compact_slabbed_composition():
+    """Sharding composed with slab dispatch (max_points_per_shard): the
+    z-layer space is chunked, one executable is re-dispatched with a
+    traced k_base, and the result is EXACTLY the whole-grid sharded (and
+    single-device) indexed mesh — the payload-concatenation identity
+    extended to chunks."""
+    from gsdf_tpu.parallel import render_sharded_compact
+    from gsdf_tpu.parallel.sharded import _step_cache
+
+    devices = jax.devices("cpu")[:4]
+    mesh = make_mesh(devices)
+    part = _part()
+    res = 0.07
+    fr = FlatRenderer(part, res, device=devices[0])
+    cv, ct = fr.render_compact()
+    # force several chunks: a shard's whole-grid dispatch is ~nk/4 planes;
+    # cap points per shard at ~3 planes worth
+    plane = (fr.ny + 2) * (fr.nx + 2)
+    n_exec_before = len(_step_cache)
+    sv, st = render_sharded_compact(
+        part, mesh, res, max_points_per_shard=3 * plane
+    )
+    np.testing.assert_array_equal(st, ct)
+    np.testing.assert_allclose(sv, cv, atol=1e-6)
+    # chunking reuses ONE executable (the k_base operand, not one
+    # executable per chunk)
+    assert len(_step_cache) <= n_exec_before + 2  # step + possible retry
+
+
 def test_sharded_compact_grid_size_guard():
     """Global cube ids are int32-bounded exactly like the single-device
     builder: oversized grids raise instead of wrapping id arithmetic."""
