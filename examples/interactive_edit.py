@@ -2,7 +2,13 @@
 dimension and re-render with zero recompiles — the workflow GLSL-codegen
 pipelines cannot offer (every edit is a new shader there; here edits are
 operand updates to one executable).
+
+`--view` opens the live viewer with a parametric SLIDER bound to the
+boss radius: every slider move rebinds the parameter and re-renders
+through the same raymarch executable (pipeline.InteractiveViewer
+params=...). Headless hosts fall back to the scripted sweep below.
 """
+import sys
 import time
 
 import numpy as np
@@ -26,6 +32,21 @@ if __name__ == "__main__":
     part = bld.difference(body, hole)
     # pin a render region covering every edit we intend to make
     pinned = with_bounds(part, box3(-1.2, -0.8, -0.9, 1.2, 0.8, 0.9))
+
+    if "--view" in sys.argv:
+        from gsdf_tpu.pipeline import InteractiveViewer
+
+        boss = body.s2  # the boss cylinder node
+        viewer = InteractiveViewer(
+            pinned, width=512, height=512, verbose=True,
+            params=[("boss r", boss, "r", 0.25, 0.6)],
+        )
+        try:
+            viewer.show()
+        except RuntimeError as e:
+            print(f"[viewer] {e}; running the scripted sweep instead")
+        else:
+            sys.exit(0)
 
     fr = FlatRenderer(pinned, 0.02)
     t0 = time.monotonic()

@@ -61,6 +61,8 @@ class InteractiveViewer:
         drag_steps: int = 72,
         aa: int = 2,
         verbose: bool = False,
+        pipeline: bool = True,
+        params=None,
     ):
         import jax
 
@@ -77,6 +79,19 @@ class InteractiveViewer:
         #: observability (typical numbers in docs/PERFORMANCE.md)
         self._frame_ms: dict = {"drag": [], "full": []}
         self.verbose = bool(verbose)
+        #: drag-frame pipelining: two in-flight device frames — frame
+        #: N+1's compute overlaps frame N's fetch (jax dispatch is
+        #: async; the tunneled link serializes each transfer but not
+        #: compute-under-transfer). The displayed drag frame is one
+        #: mouse event behind, which orbit interaction doesn't notice;
+        #: release() flushes and renders the exact rest view.
+        self.pipeline = bool(pipeline)
+        self._pending = None  # (device array, view-is-current flag)
+        #: parametric slider bindings: [(label, node, param, lo, hi)];
+        #: when set, renders route through the per-STRUCTURE executable
+        #: so slider edits never recompile (eval.parametric)
+        self.params = list(params) if params else []
+        self.parametric = bool(self.params)
         self.reset()
         self._dragging = False
         self._last_xy = None
@@ -87,10 +102,10 @@ class InteractiveViewer:
         self.cam_dist = 2.4
 
     # --- rendering ----------------------------------------------------
-    def render_current(self, quality: str = "full") -> np.ndarray:
-        """Render the current view. quality='drag' uses half resolution
-        and fewer steps (motion-adaptive, reference ui.go:131-241)."""
-        from ..visual.raymarch import raymarch_image
+    def _dispatch(self, quality: str):
+        """Dispatch the current view's kernel; returns the DEVICE array
+        (unfetched)."""
+        from ..visual.raymarch import raymarch_image_device
 
         if quality == "drag":
             w, h, steps, aa = (
@@ -101,8 +116,7 @@ class InteractiveViewer:
             )
         else:
             w, h, steps, aa = self.width, self.height, self.steps, self.aa
-        t0 = time.monotonic()
-        img = raymarch_image(
+        return raymarch_image_device(
             self.obj,
             width=w,
             height=h,
@@ -112,7 +126,24 @@ class InteractiveViewer:
             steps=steps,
             device=self.device,
             aa=aa,
+            parametric=self.parametric,
         )
+
+    def render_current(self, quality: str = "full") -> np.ndarray:
+        """Render the current view. quality='drag' uses half resolution
+        and fewer steps (motion-adaptive, reference ui.go:131-241), and
+        when pipelining is on, overlaps this frame's compute with the
+        previous drag frame's fetch (the returned image is then one
+        event behind the view state)."""
+        t0 = time.monotonic()
+        if quality == "drag" and self.pipeline:
+            dev = self._dispatch("drag")  # async dispatch of frame N
+            prev = self._pending if self._pending is not None else dev
+            self._pending = dev
+            img = np.asarray(prev)  # fetch N-1 while N computes
+        else:
+            self._pending = None  # rest frame: flush the pipeline
+            img = np.asarray(self._dispatch(quality))
         if quality == "drag":
             img = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
         dt = (time.monotonic() - t0) * 1e3
@@ -165,6 +196,14 @@ class InteractiveViewer:
         self.cam_dist = float(np.clip(self.cam_dist * 0.9**step, 1.2, 8.0))
         return True
 
+    def set_param(self, node, name, value) -> None:
+        """Parametric slider edit: rebind one continuous parameter and
+        re-render through the SAME per-structure executable — zero new
+        compiles per edit (eval.parametric; the warm edit loop of
+        examples/interactive_edit.py made interactive)."""
+        self.obj.rebind({node: {name: float(value)}})
+        self._pending = None  # view changed shape: flush stale frames
+
     # --- event loop ----------------------------------------------------
     def _build_figure(self):
         """Create the figure and wire the event handlers. Backend-agnostic
@@ -212,6 +251,26 @@ class InteractiveViewer:
         fig.canvas.mpl_connect("motion_notify_event", move)
         fig.canvas.mpl_connect("scroll_event", scroll)
         fig.canvas.mpl_connect("key_press_event", key)
+
+        # parametric sliders: one per (label, node, param, lo, hi)
+        if self.params:
+            from matplotlib.widgets import Slider
+
+            fig.subplots_adjust(bottom=0.10 + 0.05 * len(self.params))
+            self._sliders = []
+            for i, (label, node, pname, lo, hi) in enumerate(self.params):
+                sax = fig.add_axes([0.25, 0.04 + 0.05 * i, 0.55, 0.03])
+                sl = Slider(
+                    sax, label, float(lo), float(hi),
+                    valinit=float(getattr(node, pname)),
+                )
+
+                def _onchange(val, _n=node, _p=pname):
+                    self.set_param(_n, _p, val)
+                    redraw("full")
+
+                sl.on_changed(_onchange)
+                self._sliders.append(sl)
         return fig
 
     def show(self):

@@ -25,7 +25,7 @@ _rm_cache: dict = {}
 
 def _raymarch_fn(
     tree: Shader3D, width: int, height: int, steps: int, device,
-    relax: float = 0.8, aa: int = 1,
+    relax: float = 0.8, aa: int = 1, parametric: bool = False,
 ):
     """relax < 1 under-steps the sphere tracer: screw sweeps and other
     domain-warping ops are not 1-Lipschitz, and full steps overshoot thin
@@ -36,8 +36,22 @@ def _raymarch_fn(
     — over the tunneled link this is 1/aa^2 the frame payload (the
     supersampled fetch used to dominate rest-frame latency in the
     interactive viewer). The integer filter reproduces the former host
-    filter bit-for-bit: floor(mean + 0.5) on the u8 samples."""
-    key = (tree.tree_hash(), width, height, steps, device, relax, aa)
+    filter bit-for-bit: floor(mean + 0.5) on the u8 samples.
+
+    parametric=True compiles per tree STRUCTURE (eval.parametric): the
+    packed continuous-parameter vector becomes a leading operand, so a
+    rebind edit re-renders through the SAME executable — the viewer's
+    slider loop never recompiles."""
+    if parametric:
+        from ..eval.parametric import structural_hash
+
+        tree.tree_hash()  # pre-cache node hashes before tracer binding
+        key = (
+            "param", structural_hash(tree), width, height, steps, device,
+            relax, aa,
+        )
+    else:
+        key = (tree.tree_hash(), width, height, steps, device, relax, aa)
     fn = _rm_cache.get(key)
     if fn is not None:
         return fn
@@ -122,6 +136,27 @@ def _raymarch_fn(
         n = aa * aa
         return ((2 * s + n) // (2 * n)).astype(jnp.uint8)
 
+    if parametric:
+        from ..eval.parametric import _bind_params, param_spec
+
+        spec = param_spec(tree)
+
+        def impl_param(flat, *args):
+            with _bind_params(spec, flat):
+                return impl(*args)
+
+        jitted_p = jax.jit(impl_param)
+
+        def fn(*args, params, _jitted=jitted_p, _dev=device):
+            with jax.default_device(_dev):
+                return _jitted(
+                    jax.device_put(params, _dev),
+                    *[jax.device_put(a, _dev) for a in args],
+                )
+
+        _rm_cache[key] = fn
+        return fn
+
     jitted = jax.jit(impl)
 
     def fn(*args, _jitted=jitted, _dev=device):
@@ -146,6 +181,53 @@ def auto_relax(obj: Shader3D) -> float:
     return 0.8
 
 
+def raymarch_image_device(
+    obj: Shader3D,
+    width: int = 512,
+    height: int = 512,
+    yaw: float = 0.6,
+    pitch: float = 0.5,
+    cam_dist: float = 2.4,
+    steps: int = 196,
+    device=None,
+    relax: float | None = None,
+    aa: int = 1,
+    parametric: bool = False,
+):
+    """Dispatch one shaded view and return the DEVICE array (H,W,3 u8)
+    WITHOUT fetching. jax dispatch is asynchronous, so a caller can
+    overlap frame N+1's compute with frame N's fetch by holding two
+    in-flight arrays and calling np.asarray on the older one — the
+    interactive viewer's drag-frame pipelining.
+
+    parametric=True routes through the per-STRUCTURE executable: a
+    tree.rebind edit re-renders with zero recompiles (slider loops)."""
+    device = device if device is not None else jax.devices()[0]
+    relax = auto_relax(obj) if relax is None else relax
+    bb = obj.bounds()
+    center = bb.center().astype(_f32)
+    scale = _f32(max(float(np.max(bb.size())) / 2, 1e-9))
+    light = np.array([0.6, 0.4, 0.8], _f32)
+    light /= np.linalg.norm(light)
+    fn = _raymarch_fn(
+        obj, width, height, steps, device, relax, aa=int(aa),
+        parametric=parametric,
+    )
+    args = (
+        _f32(cam_dist),
+        jnp.asarray(center),
+        scale,
+        _f32(yaw),
+        _f32(pitch),
+        jnp.asarray(light),
+    )
+    if parametric:
+        from ..eval.parametric import pack_params
+
+        return fn(*args, params=jnp.asarray(pack_params(obj)))
+    return fn(*args)
+
+
 def raymarch_image(
     obj: Shader3D,
     width: int = 512,
@@ -157,6 +239,7 @@ def raymarch_image(
     device=None,
     relax: float | None = None,
     aa: int = 1,
+    parametric: bool = False,
 ) -> np.ndarray:
     """Render one shaded view of the part, returning (H,W,3) uint8.
 
@@ -164,23 +247,12 @@ def raymarch_image(
     aa > 1 supersamples (renders aa*W x aa*H and box-filters down ON
     DEVICE — the reference UI's uAA antialiasing, gsdfaux/ui.go:131-241
     — so the fetched frame is always W x H regardless of aa)."""
-    device = device if device is not None else jax.devices()[0]
-    relax = auto_relax(obj) if relax is None else relax
-    bb = obj.bounds()
-    center = bb.center().astype(_f32)
-    scale = _f32(max(float(np.max(bb.size())) / 2, 1e-9))
-    light = np.array([0.6, 0.4, 0.8], _f32)
-    light /= np.linalg.norm(light)
-    fn = _raymarch_fn(obj, width, height, steps, device, relax, aa=int(aa))
-    img = fn(
-        _f32(cam_dist),
-        jnp.asarray(center),
-        scale,
-        _f32(yaw),
-        _f32(pitch),
-        jnp.asarray(light),
+    return np.asarray(
+        raymarch_image_device(
+            obj, width, height, yaw, pitch, cam_dist, steps, device, relax,
+            aa, parametric=parametric,
+        )
     )
-    return np.asarray(img)
 
 
 def turntable(

@@ -116,3 +116,60 @@ def test_show_wiring_event_pump(monkeypatch):
     import matplotlib.pyplot as plt
 
     plt.close(fig)
+
+
+def test_pipelined_drag_frames_one_behind():
+    """Drag pipelining (two in-flight device frames): the displayed
+    frame is one event behind the view state; a rest (full) frame
+    flushes the pipeline and reflects the exact current view."""
+    bld = Builder()
+    obj = bld.new_sphere(0.7)
+    v = InteractiveViewer(obj, width=64, height=64, steps=48, drag_steps=16)
+    assert v.pipeline
+    v.on_press(10, 10)
+    v.on_move(20, 10)
+    f1 = v.render_current("drag")  # dispatches view A, shows view A
+    v.on_move(52, 10)
+    f2 = v.render_current("drag")  # dispatches view B, shows view A
+    np.testing.assert_array_equal(f1, f2)  # one behind
+    v.on_move(60, 30)
+    f3 = v.render_current("drag")  # shows view B
+    assert not np.array_equal(f2, f3)
+    v.on_release()
+    full = v.render_current("full")  # flush: exact current view
+    assert v._pending is None
+    # unpipelined reference viewer at the same view agrees exactly
+    v2 = InteractiveViewer(
+        obj, width=64, height=64, steps=48, drag_steps=16, pipeline=False
+    )
+    v2.yaw, v2.pitch, v2.cam_dist = v.yaw, v.pitch, v.cam_dist
+    np.testing.assert_array_equal(full, v2.render_current("full"))
+
+
+def test_parametric_slider_edit_zero_recompile():
+    """set_param (the slider callback) rebinds a continuous parameter
+    and re-renders through the SAME per-structure executable — the
+    raymarch cache must not grow across edits."""
+    from gsdf_tpu.visual import raymarch as rm
+
+    bld = Builder()
+    boss = bld.new_cylinder(0.45, 1.2, 0.05)
+    obj = bld.smooth_union(0.1, bld.new_box(1.6, 1.0, 0.5, 0.05), boss)
+    v = InteractiveViewer(
+        obj, width=64, height=64, steps=48, drag_steps=16,
+        params=[("boss r", boss, "r", 0.2, 0.6)],
+    )
+    assert v.parametric
+    img0 = v.render_current("full")
+    n_exec = len(rm._rm_cache)
+    for r in (0.3, 0.55, 0.4):
+        v.set_param(boss, "r", r)
+        img = v.render_current("full")
+    assert len(rm._rm_cache) == n_exec, "slider edit compiled a new executable"
+    assert not np.array_equal(img0, img)  # the edit is visible
+    # drag frames run the parametric path too
+    v.on_press(5, 5)
+    v.on_move(25, 9)
+    v.render_current("drag")
+    v.render_current("drag")
+    assert len(rm._rm_cache) == n_exec + 1  # one drag-shape executable
