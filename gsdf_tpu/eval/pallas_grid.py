@@ -17,6 +17,14 @@ explicit and are the measured alternative backend
   or an empty case kills the cube). Downstream compaction consumes the
   case grid directly — no dense re-reads of the distance grid.
 
+STATUS — iteration mode, NOT the production path. XLA's fusion wins
+runtime at every measured size (2.6-11x) and cold-compile at production
+sizes; these kernels are kept for fast small-shape iteration (2-6 s
+compiles), as an independent cross-check of classification, and as the
+explicit-tiling record (docs/PERFORMANCE.md "Pallas vs XLA fusion").
+The XLA path is the default everywhere
+(tests/test_pallas.py::test_xla_backend_is_default_at_production_shapes).
+
 Trees whose distance() closes over array constants (polygon profiles,
 scan-grouped union offsets) can't be captured by a Pallas kernel; the
 jaxpr consts are hoisted into kernel operands automatically
@@ -176,81 +184,123 @@ def evaluate_grid_pallas(tree, origin, res, shape, device=None):
 _DIAG = np.float32(2 * 1.73205080757)
 
 
-def pallas_classified_grid_fn(tree, shape, device):
+def pallas_classified_grid_fn(
+    tree, shape, device, block_j: int = 8, block_i: int = 256
+):
     """Compiled (origin, res) -> (distances (nk,nj_pad,ni_pad) f32,
     effective case grid (nk,nj_pad,ni_pad) i32).
 
     cases[k,j,i] (valid for k<nk-1, j<nj-1, i<ni-1) is the 256-case MC
     index of cube (i,j,k), already masked by the corner-0 quick-reject and
     zeroed for empty/full cases — `cases != 0` IS the active mask, and
-    jnp-sum(MC_TRI_COUNT[cases]) the triangle count. One kernel pass:
-    evaluation and classification fused via a carried previous-plane
-    scratch (TPU grid steps run sequentially on the core).
+    jnp-sum(MC_TRI_COUNT[cases]) the triangle count.
 
-    Whole z-planes are one block here, so VMEM holds ~3 planes — fine up
-    to ~1024x1024 plane sizes."""
+    TILED pipeline (the whole-plane predecessor made Mosaic compile time
+    explode past 10 min on deep trees at production plane sizes — the
+    program body scaled with the plane): each program evaluates ONE
+    (block_j, block_i) tile, so the compiled body is tile-sized
+    regardless of the grid. A VMEM ring of TWO full planes (padded by
+    one tile of +inf margin) carries recent planes across the
+    sequential grid steps:
+
+      step (k, j, i):
+        1. k >= 2: classify cube layer k-2 for this tile — low corners
+           from ring slot k%2 (plane k-2), high corners from slot
+           (k+1)%2 (plane k-1), +1 halos read from the padded ring
+           (neighbor tiles still hold plane k-2: the slot is only
+           overwritten tile-by-tile later this k).
+        2. k < nk: evaluate plane k's tile, store into ring slot k%2
+           and the distance output. k == nk re-writes plane nk-1's tile
+           from the ring so the clamped output block revisit can't
+           flush stale data.
+
+    The classification trails two planes behind the evaluation, which is
+    why the grid has nk+1 z-steps."""
     if not HAS_PALLAS:
         raise RuntimeError("pallas unavailable in this environment")
     nk, nj, ni = (int(x) for x in shape)
-    nj_pad = _round_up(nj, 8)
-    ni_pad = _round_up(ni, 128)
-    key = ("classify", tree.tree_hash(), shape, device)
+    bj, bi = int(block_j), int(block_i)
+    nj_pad = _round_up(nj, bj)
+    ni_pad = _round_up(ni, bi)
+    key = ("classify", tree.tree_hash(), shape, device, bj, bi)
     fn = _pallas_cache.get(key)
     if fn is not None:
         return fn
 
-    distance, consts = _hoist_consts(tree, (nj_pad, ni_pad))
+    distance, consts = _hoist_consts(tree, (bj, bi))
     const_in = _const_inputs(consts)
-    interp = _interpret(device)
 
     _INF = np.float32(np.inf)
 
-    # left-shift a plane by one along i/j with +inf fill. Mosaic's
-    # pad->concatenate lowering miscompiles at large plane widths, so on
-    # TPU use the native roll + an iota edge mask instead.
-    def _shift_left_i(a):
-        if interp:
-            return jnp.pad(a[:, 1:], ((0, 0), (0, 1)), constant_values=np.inf)
-        col = jax.lax.broadcasted_iota(jnp.int32, (nj_pad, ni_pad), 1)
-        return jnp.where(col == ni_pad - 1, _INF, pltpu.roll(a, ni_pad - 1, 1))
-
-    def _shift_left_j(a):
-        if interp:
-            return jnp.pad(a[1:, :], ((0, 1), (0, 0)), constant_values=np.inf)
-        row = jax.lax.broadcasted_iota(jnp.int32, (nj_pad, ni_pad), 0)
-        return jnp.where(row == nj_pad - 1, _INF, pltpu.roll(a, nj_pad - 1, 0))
-
     def kernel(origin_ref, res_ref, *refs):
         const_refs = refs[: len(const_in)]
-        dist_ref, case_ref, prev_ref = refs[len(const_in) :]
+        dist_ref, case_ref, ring_ref = refs[len(const_in) :]
         k = pl.program_id(0)
+        j = pl.program_id(1)
+        i = pl.program_id(2)
+        j0 = j * bj
+        i0 = i * bi
         res = res_ref[0]
-        iy = jax.lax.broadcasted_iota(jnp.int32, (nj_pad, ni_pad), 0).astype(jnp.float32)
-        ix = jax.lax.broadcasted_iota(jnp.int32, (nj_pad, ni_pad), 1).astype(jnp.float32)
-        x = origin_ref[0] + ix * res
-        y = origin_ref[1] + iy * res
-        z = jnp.full((nj_pad, ni_pad), origin_ref[2] + k.astype(jnp.float32) * res)
-        p = jnp.stack([x, y, z], axis=-1)
-        cur = distance(p, *_read_consts(const_refs, consts))
-        dist_ref[0] = cur
 
-        prev = prev_ref[...]
-        # corners 0-3 on the carried plane (z=k-1), 4-7 on this plane;
-        # +inf padding keeps padded cubes inactive (sign bit 0 + reject)
-        low = (prev, _shift_left_i(prev), _shift_left_i(_shift_left_j(prev)),
-               _shift_left_j(prev))
-        high = (cur, _shift_left_i(cur), _shift_left_i(_shift_left_j(cur)),
-                _shift_left_j(cur))
-        case = jnp.zeros((nj_pad, ni_pad), jnp.int32)
-        for b, v in enumerate(low + high):
-            case = case | (jnp.int32(v < 0.0) << b)
-        keep = jnp.abs(prev) <= _DIAG * res
-        case = jnp.where(keep & (case != 0) & (case != 255), case, 0)
-        # k=0 has no carried plane: its write lands on block 0 and is
-        # overwritten by k=1's (the index map clamps k-1 to 0; both steps
-        # target the same VMEM-resident block, flushed once)
-        case_ref[0] = case
-        prev_ref[...] = cur
+        # one-time +inf fill of the ring margins (and everything else):
+        # padded cubes stay inactive (sign bit 0 + quick-reject)
+        @pl.when((k == 0) & (j == 0) & (i == 0))
+        def _init():
+            ring_ref[...] = jnp.full(ring_ref.shape, _INF, jnp.float32)
+
+        # --- classify cube layer k-2 (planes k-2 / k-1 in the ring) ---
+        @pl.when(k >= 2)
+        def _classify():
+            low_sl = jax.lax.rem(k, 2)
+            high_sl = jax.lax.rem(k + 1, 2)
+            # (bj+8, bi+128) aligned halo loads; only [+1] rows/cols used
+            lowR = ring_ref[low_sl, pl.ds(j0, bj + 8), pl.ds(i0, bi + 128)]
+            highR = ring_ref[high_sl, pl.ds(j0, bj + 8), pl.ds(i0, bi + 128)]
+
+            def c(R, dj, di):
+                return R[dj : bj + dj, di : bi + di]
+
+            # corner order per mc_emit.CORNER_OFFSETS: (di,dj) low plane
+            # 0:(0,0) 1:(1,0) 2:(1,1) 3:(0,1), then high plane 4-7
+            corners = (
+                c(lowR, 0, 0), c(lowR, 0, 1), c(lowR, 1, 1), c(lowR, 1, 0),
+                c(highR, 0, 0), c(highR, 0, 1), c(highR, 1, 1), c(highR, 1, 0),
+            )
+            case = jnp.zeros((bj, bi), jnp.int32)
+            for b, v in enumerate(corners):
+                case = case | (jnp.int32(v < 0.0) << b)
+            keep = jnp.abs(corners[0]) <= _DIAG * res
+            case_ref[0] = jnp.where(
+                keep & (case != 0) & (case != 255), case, 0
+            )
+
+        # --- evaluate plane k's tile --------------------------------
+        @pl.when(k < nk)
+        def _evaluate():
+            iy = jax.lax.broadcasted_iota(jnp.int32, (bj, bi), 0).astype(
+                jnp.float32
+            )
+            ix = jax.lax.broadcasted_iota(jnp.int32, (bj, bi), 1).astype(
+                jnp.float32
+            )
+            x = origin_ref[0] + (ix + (i * bi).astype(jnp.float32)) * res
+            y = origin_ref[1] + (iy + (j * bj).astype(jnp.float32)) * res
+            z = jnp.full((bj, bi), origin_ref[2] + k.astype(jnp.float32) * res)
+            p = jnp.stack([x, y, z], axis=-1)
+            cur = distance(p, *_read_consts(const_refs, consts))
+            dist_ref[0] = cur
+            ring_ref[jax.lax.rem(k, 2), pl.ds(j0, bj), pl.ds(i0, bi)] = cur
+
+        # k == nk revisits the clamped distance block (nk-1, j, i): not
+        # writing would let the pipeline flush stale VMEM over the real
+        # plane; re-write it from the ring (slot (nk+1)%2 = plane nk-1)
+        @pl.when(k == nk)
+        def _rewrite_last():
+            dist_ref[0] = ring_ref[
+                jax.lax.rem(k + 1, 2), pl.ds(j0, bj), pl.ds(i0, bi)
+            ]
+
+    grid = (nk + 1, nj_pad // bj, ni_pad // bi)
 
     def impl(origin, res, *const_vals):
         return pl.pallas_call(
@@ -259,21 +309,24 @@ def pallas_classified_grid_fn(tree, shape, device):
                 jax.ShapeDtypeStruct((nk, nj_pad, ni_pad), jnp.float32),
                 jax.ShapeDtypeStruct((nk, nj_pad, ni_pad), jnp.int32),
             ),
-            grid=(nk,),
+            grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(const_vals),
             out_specs=(
                 pl.BlockSpec(
-                    (1, nj_pad, ni_pad), lambda k: (k, 0, 0),
+                    (1, bj, bi),
+                    lambda k, j, i: (jnp.minimum(k, nk - 1), j, i),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, nj_pad, ni_pad),
-                    lambda k: (jnp.maximum(k - 1, 0), 0, 0),
+                    (1, bj, bi),
+                    lambda k, j, i: (jnp.maximum(k - 2, 0), j, i),
                     memory_space=pltpu.VMEM,
                 ),
             ),
-            scratch_shapes=[pltpu.VMEM((nj_pad, ni_pad), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((2, nj_pad + 8, ni_pad + 128), jnp.float32)
+            ],
             interpret=_interpret(device),
         )(origin, res, *const_vals)
 

@@ -176,7 +176,10 @@ _OFFS = {
 _OFF5 = {a: _OFFS[a] + [(0, 0, 0)] for a in _OFFS}
 
 
-def _dc_mesh_fn(tree, shape, a_size, w_size, norm_step, sqrt_lambda, device):
+def _dc_mesh_fn(
+    tree, shape, a_size, w_size, norm_step, sqrt_lambda, device,
+    parametric=False,
+):
     """Compiled (origin, res) -> packed f32 buffer for the FULLY-ON-DEVICE
     dual-contour pipeline: grid eval -> active-edge compaction ->
     in-kernel central-difference normals -> edge->voxel scatter (sort +
@@ -196,10 +199,19 @@ def _dc_mesh_fn(tree, shape, a_size, w_size, norm_step, sqrt_lambda, device):
     -1 = invalid quad), fv (A i32: bit0 valid, bit1 winding flip,
     bits 2-3 edge axis)].
     """
-    key = (
-        "mesh", tree.tree_hash(), tuple(shape), a_size, w_size,
-        _f32(norm_step), _f32(sqrt_lambda), device,
-    )
+    if parametric:
+        from ..eval.parametric import structural_hash
+
+        tree.tree_hash()  # pre-cache node hashes before tracer binding
+        key = (
+            "mesh-param", structural_hash(tree), tuple(shape), a_size,
+            w_size, _f32(norm_step), _f32(sqrt_lambda), device,
+        )
+    else:
+        key = (
+            "mesh", tree.tree_hash(), tuple(shape), a_size, w_size,
+            _f32(norm_step), _f32(sqrt_lambda), device,
+        )
     fn = _dc_cache.get(key)
     if fn is not None:
         return fn
@@ -473,9 +485,31 @@ def _dc_mesh_fn(tree, shape, a_size, w_size, norm_step, sqrt_lambda, device):
             ]
         )
 
+    if parametric:
+        from ..eval.parametric import _bind_params, param_spec
+
+        spec = param_spec(tree)
+
+        def impl_param(origin, res, flat):
+            with _bind_params(spec, flat):
+                return impl(origin, res)
+
+        jitted_p = jax.jit(impl_param)
+
+        def fn(origin, res, params=None, _j=jitted_p, _dev=device):
+            with jax.default_device(_dev):
+                return _j(
+                    jax.device_put(np.asarray(origin, _f32), _dev),
+                    _f32(res),
+                    jax.device_put(params, _dev),
+                )
+
+        _dc_cache[key] = fn
+        return fn
+
     jitted = jax.jit(impl)
 
-    def fn(origin, res, _jitted=jitted, _dev=device):
+    def fn(origin, res, params=None, _jitted=jitted, _dev=device):
         with jax.default_device(_dev):
             return _jitted(jax.device_put(np.asarray(origin, _f32), _dev), _f32(res))
 
@@ -526,12 +560,18 @@ class DualContourRenderer:
         FlatRenderer.evaluations()."""
         return self._evaluations
 
-    def render(self) -> np.ndarray:
+    def render(self, parametric: bool = False) -> np.ndarray:
+        """parametric=True compiles per tree STRUCTURE: a rebind edit
+        re-renders through the same executable (zero recompiles; the
+        grid stays pinned to construction-time bounds — pin generous
+        bounds with core.wrappers.with_bounds before editing). The host
+        oracle path has no parametric mode (it is the parity reference,
+        not a production path)."""
         if self.host_qef:
             return self._render_host()
-        return self._render_device()
+        return self._render_device(parametric=parametric)
 
-    def _render_device(self) -> np.ndarray:
+    def _render_device(self, parametric: bool = False) -> np.ndarray:
         """Fully-on-device pipeline; host work is one fetch plus the
         final quad gather."""
         from ..ops.marching_cubes import _bucket
@@ -539,7 +579,14 @@ class DualContourRenderer:
         res = float(self.res)
         nk, nj, ni = self.nz + 1, self.ny + 1, self.nx + 1
         nvox = self.nz * self.ny * self.nx
-        hint_key = ("mhint", self.s.tree_hash(), (nk, nj, ni))
+        if parametric:
+            from ..eval.parametric import pack_params, structural_hash
+
+            params = jnp.asarray(pack_params(self.s))
+            hint_key = ("mhint-param", structural_hash(self.s), (nk, nj, ni))
+        else:
+            params = None
+            hint_key = ("mhint", self.s.tree_hash(), (nk, nj, ni))
         hint = _dc_cache.get(hint_key)
         if hint is not None:
             a_size, w_size = hint
@@ -550,9 +597,9 @@ class DualContourRenderer:
             fn = _dc_mesh_fn(
                 self.s, (nk, nj, ni), a_size, w_size,
                 self.contourer.norm_step, self.contourer.sqrt_lambda,
-                self.device,
+                self.device, parametric=parametric,
             )
-            packed = np.asarray(fn(self.origin, res))
+            packed = np.asarray(fn(self.origin, res, params=params))
             n_edges, n_vox = (int(x) for x in packed[:2].view(np.int32))
             if n_edges <= a_size and n_vox <= w_size:
                 break

@@ -244,6 +244,40 @@ def test_dc_fuzz_seeded_trees(seed):
     assert len(th) == len(tris)
 
 
+def test_dc_parametric_edit_zero_recompile():
+    """render(parametric=True): a rebind edit re-renders through the
+    SAME per-structure executable (the compact/pruned paths' editing
+    contract, extended to DC)."""
+    from gsdf_tpu.core.wrappers import with_bounds
+    from gsdf_tpu.geometry import box3
+    from gsdf_tpu.render import dual_contour as dcm
+
+    bld2 = Builder()
+    boss = bld2.new_cylinder(0.45, 1.2, 0.05)
+    body = bld2.smooth_union(0.1, bld2.new_box(1.6, 1.0, 0.5, 0.05), boss)
+    pinned = with_bounds(body, box3(-1.2, -0.8, -0.9, 1.2, 0.8, 0.9))
+    dc = DualContourRenderer(pinned, 0.06)
+    t0 = dc.render(parametric=True)
+    n_exec = sum(
+        1 for k in dcm._dc_cache if isinstance(k, tuple) and k[0] == "mesh-param"
+    )
+    pinned.rebind({boss: {"r": 0.3}})
+    t1 = DualContourRenderer(pinned, 0.06).render(parametric=True)
+    assert (
+        sum(
+            1
+            for k in dcm._dc_cache
+            if isinstance(k, tuple) and k[0] == "mesh-param"
+        )
+        == n_exec
+    ), "parametric DC edit compiled a new executable"
+    assert len(t1) != len(t0)  # the edit changed the surface
+    # the edited parametric render equals a fresh non-parametric render
+    t_ref = DualContourRenderer(pinned, 0.06).render()
+    assert len(t1) == len(t_ref)
+    np.testing.assert_allclose(t1, t_ref, atol=1e-6)
+
+
 def test_dc_edge_field_grid_size_guard():
     """Edge ids pack into bits 0-30 (bit 31 = winding flip): grids with
     3*nvox >= 2^31 must be rejected, not silently corrupted."""

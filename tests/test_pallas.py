@@ -90,3 +90,20 @@ def test_atan2_lowerable_signed_zero_seam():
     # seam sign agreement, bit-level: +-0 and +-pi must match exactly
     seam = (y == 0) | (x == 0)
     np.testing.assert_array_equal(np.signbit(got[seam]), np.signbit(ref[seam]))
+
+
+def test_xla_backend_is_default_at_production_shapes():
+    """The Pallas backends are an ITERATION MODE, not the production
+    path: FlatRenderer (and therefore every production render route)
+    must select the XLA fused path by default regardless of shape
+    (measured record in docs/PERFORMANCE.md — XLA wins runtime at every
+    size and cold-compile at production sizes)."""
+    from gsdf_tpu import Builder
+    from gsdf_tpu.render.flat import FlatRenderer
+
+    bld = Builder()
+    s = bld.new_sphere(1.0)
+    fr = FlatRenderer(s, 0.01)  # production-scale grid (~8M cubes)
+    assert fr.eval_backend == "xla"
+    fr2 = FlatRenderer(s, 0.2)
+    assert fr2.eval_backend == "xla"
