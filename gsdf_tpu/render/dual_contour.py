@@ -293,15 +293,19 @@ def _dc_mesh_fn(
             axis=-1,
         )
         # central-difference normals on the compacted set, pre-scaled by
-        # 1/norm_step (solution-invariant uniform row scaling, see above)
+        # 1/norm_step (solution-invariant uniform row scaling, see
+        # above). ONE batched distance call over the 6 offset sets: six
+        # separate calls would trace the (deep) tree six more times —
+        # measured minutes of extra Mosaic-free XLA compile on screw
+        # trees — while the concatenated batch costs one extra trace.
         eye = jnp.eye(3, dtype=jnp.float32) * half
+        pts6 = jnp.concatenate(
+            [pt + eye[0], pt + eye[1], pt + eye[2],
+             pt - eye[0], pt - eye[1], pt - eye[2]]
+        )  # (6A,3)
+        d6 = tree.distance(pts6).reshape(6, A)
         nrm = jnp.stack(
-            [
-                (tree.distance(pt + eye[d]) - tree.distance(pt - eye[d]))
-                * inv_step
-                for d in range(3)
-            ],
-            axis=-1,
+            [(d6[d] - d6[3 + d]) * inv_step for d in range(3)], axis=-1
         )  # (A,3)
 
         # --- edge -> voxel contributions (A,5) ------------------------
@@ -412,40 +416,69 @@ def _dc_mesh_fn(
         # instability inside a cluster cancels. Directions whose
         # eigenvalue is below the f32 noise floor of M are damped to the
         # bias point (y=0 there) — exactly the regularization's intent.
-        M = jnp.stack(
-            [
-                jnp.stack([axx, axy, axz], -1),
-                jnp.stack([axy, ayy, ayz], -1),
-                jnp.stack([axz, ayz, azz], -1),
-            ],
-            -2,
-        )  # (W,3,3)
+        # ELEMENTWISE Jacobi: the obvious einsum formulation dispatches
+        # batched 3x3 matmuls, which XLA pads onto the MXU at ~1000x
+        # waste (measured ~2 s of the warm bolt render); explicit
+        # row/column rotations keep everything on the VPU.
         tr = axx + ayy + azz
-        Vv = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), M.shape)
-        Mw = M
+        M = {
+            (0, 0): axx, (0, 1): axy, (0, 2): axz,
+            (1, 1): ayy, (1, 2): ayz, (2, 2): azz,
+        }
+        one = jnp.ones_like(axx)
+        zero = jnp.zeros_like(axx)
+        V = {
+            (r, cidx): (one if r == cidx else zero)
+            for r in range(3)
+            for cidx in range(3)
+        }
+
+        def mget(r, cidx):
+            return M[(r, cidx)] if r <= cidx else M[(cidx, r)]
+
         for _sweep in range(5):
             for (pp, qq) in ((0, 1), (0, 2), (1, 2)):
-                theta = 0.5 * jnp.arctan2(
-                    2.0 * Mw[:, pp, qq], Mw[:, qq, qq] - Mw[:, pp, pp]
-                )
+                app = mget(pp, pp)
+                aqq = mget(qq, qq)
+                apq = mget(pp, qq)
+                theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
                 cth = jnp.cos(theta)
                 sth = jnp.sin(theta)
-                G = jnp.broadcast_to(
-                    jnp.eye(3, dtype=jnp.float32), M.shape
-                )
-                G = G.at[:, pp, pp].set(cth).at[:, qq, qq].set(cth)
-                G = G.at[:, pp, qq].set(sth).at[:, qq, pp].set(-sth)
-                Mw = jnp.einsum("wij,wjk,wkl->wil", G.transpose(0, 2, 1), Mw, G)
-                Vv = jnp.einsum("wij,wjk->wik", Vv, G)
-        lam3 = jnp.stack([Mw[:, 0, 0], Mw[:, 1, 1], Mw[:, 2, 2]], -1)
+                rr = 3 - pp - qq  # the untouched index
+                arp = mget(rr, pp)
+                arq = mget(rr, qq)
+                c2, s2, cs = cth * cth, sth * sth, cth * sth
+                napp = c2 * app - 2.0 * cs * apq + s2 * aqq
+                naqq = s2 * app + 2.0 * cs * apq + c2 * aqq
+                # rotated off-diagonal (pp,qq) is ~0 by construction
+                napq = cs * (app - aqq) + (c2 - s2) * apq
+                narp = cth * arp - sth * arq
+                narq = sth * arp + cth * arq
+                M[(pp, pp)] = napp
+                M[(qq, qq)] = naqq
+                M[(pp, qq) if pp <= qq else (qq, pp)] = napq
+                M[(min(rr, pp), max(rr, pp))] = narp
+                M[(min(rr, qq), max(rr, qq))] = narq
+                for r in range(3):
+                    vp = V[(r, pp)]
+                    vq = V[(r, qq)]
+                    V[(r, pp)] = cth * vp - sth * vq
+                    V[(r, qq)] = sth * vp + cth * vq
+        lam3 = [mget(0, 0), mget(1, 1), mget(2, 2)]
         # spectral floor: eigenvalues below the accumulated-f32 noise of
         # M are indistinguishable from zero; l2 already floors the well-
         # conditioned case
-        floor = jnp.maximum(l2, 1e-6 * tr)[:, None]
-        w = 1.0 / (jnp.maximum(lam3, 0.0) + floor)
-        rhs = jnp.stack([bx, by, bz], -1)
-        y = jnp.einsum(
-            "wij,wj->wi", Vv, w * jnp.einsum("wji,wj->wi", Vv, rhs)
+        floor = jnp.maximum(l2, 1e-6 * tr)
+        rhs = [bx, by, bz]
+        # y = V diag(1/(lam+floor)) V^T rhs, expanded elementwise
+        t = [
+            sum(V[(r, cidx)] * rhs[r] for r in range(3))
+            / (jnp.maximum(lam3[cidx], 0.0) + floor)
+            for cidx in range(3)
+        ]
+        y = jnp.stack(
+            [sum(V[(r, cidx)] * t[cidx] for cidx in range(3)) for r in range(3)],
+            axis=-1,
         )
         x = jnp.clip(bias + y, -0.1, 1.1)
         uk = uvox // (ny * nx)
@@ -607,10 +640,22 @@ class DualContourRenderer:
                 a_size = _bucket(n_edges, granule=16384)
             if n_vox > w_size:
                 w_size = _bucket(n_vox, granule=16384)
-        # store the sizes actually compiled (grow-only discipline): a
-        # re-bucketed-down hint would compile a second executable for the
-        # same object on the next render
-        _dc_cache[hint_key] = (a_size, w_size)
+        if parametric:
+            # parametric edits promise ZERO new executables: keep the
+            # sizes exactly as compiled (grow-only via the retry loop)
+            _dc_cache[hint_key] = (a_size, w_size)
+        else:
+            # warm hint: TIGHT sizes (+25% headroom). The initial
+            # estimate can be 4-5x over the true edge count, and every
+            # padded slot pays 6 normal evaluations plus 5 payload words
+            # — measured 8.4 MB fetched for a ~2 MB surface on the bolt.
+            # The second render compiles once more at the tight sizes
+            # (the compact path's hint discipline), then stays minimal;
+            # never store below what this render actually needed.
+            _dc_cache[hint_key] = (
+                min(a_size, _bucket(int(n_edges * 1.25) + 1, granule=16384)),
+                min(w_size, _bucket(int(n_vox * 1.25) + 1, granule=16384)),
+            )
         self._evaluations += nk * nj * ni + 6 * n_edges
         off = 2
         verts = packed[off : off + 3 * w_size].reshape(-1, 3)
