@@ -255,18 +255,19 @@ def _dc_mesh_fn(
             [(dxx - d0) < 0, (dyy - d0) < 0, (dzz - d0) < 0]
         ).reshape(-1)
 
+        # sort-based edge compaction (mc_emit.compact_indices, the block-
+        # hierarchical path): a cumsum+scatter compaction over the 3*nvox
+        # edge mask serialized on TPU — measured ~200 ms of the warm bolt
+        # render; the slot value IS the flat edge id, so t/flip follow by
+        # two surface-sized gathers
+        from ..ops import mc_emit as _mc
+
         n_edges = jnp.sum(flags.astype(jnp.int32))
-        pos = jnp.cumsum(flags.astype(jnp.int32)) - 1
-        dest = jnp.where(flags, pos, A)
-        eid_all = jnp.arange(3 * nvox, dtype=jnp.int32)
-        eid = jnp.zeros((A + 1,), jnp.int32).at[dest].set(
-            eid_all, mode="drop"
-        )[:A]
-        tv = jnp.zeros((A + 1,), jnp.float32).at[dest].set(t3, mode="drop")[:A]
-        eflip = jnp.zeros((A + 1,), jnp.bool_).at[dest].set(
-            flip3, mode="drop"
-        )[:A]
-        valid = jnp.arange(A) < n_edges
+        slots = _mc.compact_indices(flags, A)
+        valid = slots >= 0
+        eid = jnp.maximum(slots, 0)
+        tv = jnp.where(valid, t3[eid], 0.0)
+        eflip = flip3[eid] & valid
 
         eax = eid // nvox
         rem = eid % nvox
