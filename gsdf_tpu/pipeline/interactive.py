@@ -61,7 +61,7 @@ class InteractiveViewer:
         drag_steps: int = 72,
         aa: int = 2,
         verbose: bool = False,
-        pipeline: bool = True,
+        pipeline: bool = False,
         params=None,
     ):
         import jax
@@ -80,11 +80,14 @@ class InteractiveViewer:
         self._frame_ms: dict = {"drag": [], "full": []}
         self.verbose = bool(verbose)
         #: drag-frame pipelining: two in-flight device frames — frame
-        #: N+1's compute overlaps frame N's fetch (jax dispatch is
-        #: async; the tunneled link serializes each transfer but not
-        #: compute-under-transfer). The displayed drag frame is one
-        #: mouse event behind, which orbit interaction doesn't notice;
-        #: release() flushes and renders the exact rest view.
+        #: N+1 is dispatched before frame N's fetch. MEASURED REJECTION
+        #: on the tunneled v5e (2026-08-17, ISO bolt 512x512): pipelined
+        #: drag median 49.3 ms vs 51.4 ms synchronous — the link
+        #: serializes one RPC stream, so the ~50 ms drag frame is a
+        #: 2-RPC (dispatch + fetch) latency floor that overlap cannot
+        #: beat, and the displayed frame lags one mouse event for
+        #: nothing. Default OFF here; on a direct-attached host (PCIe
+        #: ~us dispatch) the overlap is real and worth enabling.
         self.pipeline = bool(pipeline)
         self._pending = None  # (device array, view-is-current flag)
         #: parametric slider bindings: [(label, node, param, lo, hi)];

@@ -124,7 +124,9 @@ def test_pipelined_drag_frames_one_behind():
     flushes the pipeline and reflects the exact current view."""
     bld = Builder()
     obj = bld.new_sphere(0.7)
-    v = InteractiveViewer(obj, width=64, height=64, steps=48, drag_steps=16)
+    v = InteractiveViewer(
+        obj, width=64, height=64, steps=48, drag_steps=16, pipeline=True
+    )
     assert v.pipeline
     v.on_press(10, 10)
     v.on_move(20, 10)
