@@ -155,11 +155,9 @@ def test_dc_device_matches_host_oracle_chiseled():
     assert dd.max() <= dh.max() + 0.5 * res
 
 
-def test_dc_bolt_golden_count():
-    """Golden DC anchor: the bolt example scene (examples/bolt.py,
-    reference examples/bolt/main.go:27-40) at resdiv 256 produces
-    EXACTLY 99,844 triangles, identically on the device and host-oracle
-    paths, bit-stable across renders."""
+def _bolt_scene():
+    """The bolt example scene (examples/bolt.py, reference
+    examples/bolt/main.go:27-40) and its resdiv-256 resolution."""
     import math as _math
 
     from gsdf_tpu.forge import threads
@@ -175,13 +173,45 @@ def test_dc_bolt_golden_count():
         ),
     )
     m3 = bld.rotate(m3, 2.5 * _math.pi / 2, (1, 0, 0.1))
-    res = m3.bounds().diagonal() / 256
-    t1 = DualContourRenderer(m3, res).render()
+    return m3, m3.bounds().diagonal() / 256
+
+
+def test_dc_bolt_golden_count():
+    """Golden DC anchor: the bolt scene at resdiv 256 produces EXACTLY
+    99,844 triangles on the CPU backend, identically on the device-QEF
+    and host-oracle paths, bit-stable across renders. The golden is
+    CPU-pinned (the oracle backend per CLAUDE.md); the accelerator's own
+    exact anchor is test_dc_bolt_golden_count_accel below."""
+    import jax
+
+    cpu = jax.devices("cpu")[0]
+    m3, res = _bolt_scene()
+    t1 = DualContourRenderer(m3, res, device=cpu).render()
     assert len(t1) == 99844
-    t2 = DualContourRenderer(m3, res).render()
+    t2 = DualContourRenderer(m3, res, device=cpu).render()
     np.testing.assert_array_equal(t1, t2)  # bit-stable
-    th = DualContourRenderer(m3, res, host_qef=True).render()
+    th = DualContourRenderer(m3, res, device=cpu, host_qef=True).render()
     assert len(th) == 99844
+
+
+def test_dc_bolt_golden_count_accel():
+    """On the accelerator the SAME scene yields EXACTLY 99,884 triangles
+    (measured v5e, 2026-08-17): ~1e-7 eval differences flip the signbit
+    of a handful of near-zero grid corners vs the CPU backend, so DC's
+    edge discretization differs by 40 triangles. Each backend is
+    bit-stable; both counts are exact gates — any drift is a regression
+    to investigate, never a tolerance to widen (docs/PERFORMANCE.md
+    'Dual contouring' records the split)."""
+    import jax
+
+    devs = [d for d in jax.devices() if d.platform != "cpu"]
+    if not devs:
+        pytest.skip("no accelerator")
+    m3, res = _bolt_scene()
+    t1 = DualContourRenderer(m3, res, device=devs[0]).render()
+    assert len(t1) == 99884
+    t2 = DualContourRenderer(m3, res, device=devs[0]).render()
+    np.testing.assert_array_equal(t1, t2)  # bit-stable on-chip
 
 
 def _fuzz_tree(seed):
