@@ -45,8 +45,13 @@ if __name__ == "__main__":
         from gsdf_tpu.render import DualContourLeastSquares, DualContourRenderer
         from gsdf_tpu.render.stl import write_stl_file
 
+        import jax
+
+        device = jax.devices("cpu")[0] if args.cpu else None
         res = args.res or obj.bounds().diagonal() / args.resdiv
-        dc = DualContourRenderer(obj, res, DualContourLeastSquares(chiseled=True))
+        dc = DualContourRenderer(
+            obj, res, DualContourLeastSquares(chiseled=True), device=device
+        )
         t0 = time.monotonic()
         tris = dc.render()
         dt = time.monotonic() - t0

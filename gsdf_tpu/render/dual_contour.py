@@ -177,7 +177,7 @@ _OFF5 = {a: _OFFS[a] + [(0, 0, 0)] for a in _OFFS}
 
 
 def _dc_mesh_fn(
-    tree, shape, a_size, w_size, norm_step, sqrt_lambda, device,
+    tree, shape, a_size, w_size, e_size, norm_step, sqrt_lambda, device,
     parametric=False,
 ):
     """Compiled (origin, res) -> packed f32 buffer for the FULLY-ON-DEVICE
@@ -195,9 +195,20 @@ def _dc_mesh_fn(
     the raw step-scaled central differences (magnitude ~norm_step) into
     f32-friendly range for the on-device normal-equations solve.
 
-    Layout: [n_edges i32, n_vox i32, verts (3*W f32), vid (4*A i32,
-    -1 = invalid quad), fv (A i32: bit0 valid, bit1 winding flip,
-    bits 2-3 edge axis)].
+    Payload v2 layout (the wire format lives ONLY in this pack +
+    unpack_dc_mesh_payload below — CLAUDE.md compact-format rule):
+    [n_edges, n_vox, n_exc, version=2 (4 bitcast i32),
+     verts (3*W f32), edge-id deltas u8 packed 4/word (A/4),
+     winding-flip bits packed 32/word (A/32),
+     exc_pos (E i32), exc_delta (E i32)].
+    The per-edge quad corner-slot table (4 i32/edge) and flag word of
+    the v1 layout are NOT shipped: edge ids over the valid prefix are
+    ASCENDING (compact_indices contract), so they delta-encode to u8
+    with an i32 escape table exactly like the MC compact payload
+    (compact_field._pack_payload), and the host re-derives corner slots
+    and quad validity from the ids against the SAME ascending unique
+    voxel keys the kernel used for vertex slots — dropping the fetch
+    from 12W+20A to 12W+~1.1A+8E bytes (~2x on typical surfaces).
     """
     if parametric:
         from ..eval.parametric import structural_hash
@@ -205,12 +216,12 @@ def _dc_mesh_fn(
         tree.tree_hash()  # pre-cache node hashes before tracer binding
         key = (
             "mesh-param", structural_hash(tree), tuple(shape), a_size,
-            w_size, _f32(norm_step), _f32(sqrt_lambda), device,
+            w_size, e_size, _f32(norm_step), _f32(sqrt_lambda), device,
         )
     else:
         key = (
             "mesh", tree.tree_hash(), tuple(shape), a_size, w_size,
-            _f32(norm_step), _f32(sqrt_lambda), device,
+            e_size, _f32(norm_step), _f32(sqrt_lambda), device,
         )
     fn = _dc_cache.get(key)
     if fn is not None:
@@ -222,6 +233,9 @@ def _dc_mesh_fn(
         raise ValueError("grid too large for int32 edge ids (3*nvox >= 2^31)")
     A = int(a_size)
     W = int(w_size)
+    E = int(e_size)
+    if A % 32:
+        raise ValueError("a_size must be a multiple of 32 (flip-bit packing)")
     half = _f32(norm_step) * _f32(0.5)
     inv_step = _f32(1.0) / _f32(norm_step)
     lam = _f32(sqrt_lambda) * inv_step  # scaled regularization row weight
@@ -490,32 +504,37 @@ def _dc_mesh_fn(
             (uvox != SENT)[:, None], origin[None, :] + vo + x * res, 0.0
         )  # (W,3)
 
-        # --- quad corner slots per edge -------------------------------
-        vid = []
-        quad_ok = valid
-        for c in range(4):
-            lin = con_vox.reshape(-1, 5)[:, c]
-            ok = lin != SENT
-            slot = jnp.searchsorted(uvox, lin).astype(jnp.int32)
-            slot_c = jnp.minimum(slot, W - 1)
-            ok = ok & (uvox[slot_c] == lin)
-            quad_ok = quad_ok & ok
-            vid.append(slot_c)
-        vid = jnp.stack(vid, axis=1)  # (A,4)
-        vid = jnp.where(quad_ok[:, None], vid, -1)
-        fv = (
-            quad_ok.astype(jnp.int32)
-            | (eflip.astype(jnp.int32) << 1)
-            | (eax << 2)
+        # --- pack: delta-encoded edge ids + flip bits (payload v2) ----
+        from ..ops.compact_field import _pack_u8
+
+        prev_e = jnp.concatenate([jnp.zeros((1,), eid.dtype), eid[:-1]])
+        delta = jnp.where(valid, eid - prev_e, 0)  # valid is a prefix mask
+        esc = valid & (delta >= 255)
+        n_exc = jnp.sum(esc.astype(jnp.int32))
+        deltas = _pack_u8(jnp.where(esc, 255, delta), valid, A)
+        pos = _mc.compact_indices(esc, E)
+        evalid = pos >= 0
+        psafe = jnp.maximum(pos, 0)
+        exc_pos = jnp.where(evalid, psafe, 0).astype(jnp.int32)
+        exc_delta = jnp.where(evalid, delta[psafe], 0).astype(jnp.int32)
+        fb = (eflip & valid).reshape(A // 32, 32).astype(jnp.uint32)
+        flip_words = jnp.sum(
+            fb << jnp.arange(32, dtype=jnp.uint32)[None, :],
+            axis=1,
+            dtype=jnp.uint32,
         )
 
-        counts = jnp.stack([n_edges, n_vox])
+        counts = jnp.stack(
+            [n_edges, n_vox, n_exc, jnp.asarray(2, n_edges.dtype)]
+        )
         return jnp.concatenate(
             [
                 jax.lax.bitcast_convert_type(counts, jnp.float32),
                 verts.reshape(-1),
-                jax.lax.bitcast_convert_type(vid.reshape(-1), jnp.float32),
-                jax.lax.bitcast_convert_type(fv, jnp.float32),
+                jax.lax.bitcast_convert_type(deltas, jnp.float32),
+                jax.lax.bitcast_convert_type(flip_words, jnp.float32),
+                jax.lax.bitcast_convert_type(exc_pos, jnp.float32),
+                jax.lax.bitcast_convert_type(exc_delta, jnp.float32),
             ]
         )
 
@@ -549,6 +568,43 @@ def _dc_mesh_fn(
 
     _dc_cache[key] = fn
     return fn
+
+
+def unpack_dc_mesh_payload(packed, a_size, w_size, e_size):
+    """Host-side unpack of the v2 DC mesh buffer (_dc_mesh_fn) ->
+    (verts (W,3) f32, eids (min(n_edges,A),) int64, flips bool,
+    (n_edges, n_vox, n_exc)). Edge ids are reconstructed with one cumsum
+    over the patched delta stream — bit-identical to the pre-delta ids
+    (lossless). Counts may exceed a_size/w_size/e_size (overflow): rows
+    are then truncated and the caller must grow-and-retry. The wire
+    layout lives ONLY in this pack/unpack pair."""
+    packed = np.ascontiguousarray(packed)
+    A, W, E = int(a_size), int(w_size), int(e_size)
+    hdr = packed[:4].view(np.int32)
+    n_edges, n_vox, n_exc, version = (int(x) for x in hdr)
+    if version != 2:
+        raise ValueError(f"unknown DC mesh payload version {version}")
+    ncap = min(n_edges, A)
+    off = 4
+    verts = packed[off : off + 3 * W].reshape(-1, 3)
+    off += 3 * W
+    d8 = packed[off : off + A // 4].view(np.uint8)[:ncap]
+    off += A // 4
+    flip_words = packed[off : off + A // 32].view(np.uint32)
+    off += A // 32
+    ecap = min(n_exc, E)
+    exc_pos = packed[off : off + E].view(np.int32)[:ecap]
+    off += E
+    exc_delta = packed[off : off + E].view(np.int32)[:ecap]
+    deltas = d8.astype(np.int64)
+    # escape positions are always < ncap: escapes are a subset of the
+    # valid prefix, which saturates at A exactly when ncap does
+    deltas[exc_pos] = exc_delta
+    eids = np.cumsum(deltas)
+    flips = np.unpackbits(
+        flip_words.view(np.uint8), bitorder="little"
+    )[:ncap].astype(bool)
+    return verts, eids, flips, (n_edges, n_vox, n_exc)
 
 
 class DualContourRenderer:
@@ -623,61 +679,93 @@ class DualContourRenderer:
             hint_key = ("mhint", self.s.tree_hash(), (nk, nj, ni))
         hint = _dc_cache.get(hint_key)
         if hint is not None:
-            a_size, w_size = hint
+            a_size, w_size, e_size = hint
         else:
             a_size = _bucket(int(12 * max(nvox, 1) ** (2 / 3)) + 4096)
             w_size = a_size
+            e_size = _bucket(max(4096, a_size // 8), granule=4096)
         while True:
             fn = _dc_mesh_fn(
-                self.s, (nk, nj, ni), a_size, w_size,
+                self.s, (nk, nj, ni), a_size, w_size, e_size,
                 self.contourer.norm_step, self.contourer.sqrt_lambda,
                 self.device, parametric=parametric,
             )
             packed = np.asarray(fn(self.origin, res, params=params))
-            n_edges, n_vox = (int(x) for x in packed[:2].view(np.int32))
-            if n_edges <= a_size and n_vox <= w_size:
+            verts, eids, flips, (n_edges, n_vox, n_exc) = (
+                unpack_dc_mesh_payload(packed, a_size, w_size, e_size)
+            )
+            if n_edges <= a_size and n_vox <= w_size and n_exc <= e_size:
                 break
             if n_edges > a_size:
                 a_size = _bucket(n_edges, granule=16384)
             if n_vox > w_size:
                 w_size = _bucket(n_vox, granule=16384)
+            if n_exc > e_size:
+                e_size = _bucket(n_exc, granule=4096)
         if parametric:
             # parametric edits promise ZERO new executables: keep the
             # sizes exactly as compiled (grow-only via the retry loop)
-            _dc_cache[hint_key] = (a_size, w_size)
+            _dc_cache[hint_key] = (a_size, w_size, e_size)
         else:
             # warm hint: TIGHT sizes (+25% headroom). The initial
             # estimate can be 4-5x over the true edge count, and every
-            # padded slot pays 6 normal evaluations plus 5 payload words
-            # — measured 8.4 MB fetched for a ~2 MB surface on the bolt.
-            # The second render compiles once more at the tight sizes
-            # (the compact path's hint discipline), then stays minimal;
-            # never store below what this render actually needed.
+            # padded slot pays 6 normal evaluations plus ~1.3 payload
+            # bytes. The second render compiles once more at the tight
+            # sizes (the compact path's hint discipline), then stays
+            # minimal; never store below what this render actually needed.
             _dc_cache[hint_key] = (
                 min(a_size, _bucket(int(n_edges * 1.25) + 1, granule=16384)),
                 min(w_size, _bucket(int(n_vox * 1.25) + 1, granule=16384)),
+                min(e_size, _bucket(int(n_exc * 1.25) + 64, granule=4096)),
             )
         self._evaluations += nk * nj * ni + 6 * n_edges
-        off = 2
-        verts = packed[off : off + 3 * w_size].reshape(-1, 3)
-        off += 3 * w_size
-        vid = packed[off : off + 4 * a_size].view(np.int32).reshape(-1, 4)
-        off += 4 * a_size
-        fv = packed[off : off + a_size].view(np.int32)
-        vid = vid[:n_edges]
-        fv = fv[:n_edges]
-        ok = (fv & 1) == 1
-        flip = (fv & 2) != 0
-        axis = fv >> 2
+        if n_edges == 0:
+            return np.empty((0, 3, 3), _f32)
+
+        # re-derive quad corner slots from the edge ids (payload v2):
+        # the ascending unique of all in-range corner + own voxel ids is
+        # EXACTLY the kernel's vertex-slot key array (its uvox is the
+        # sorted unique of the same in-range contribution set), so
+        # searchsorted reproduces the kernel's vid table bit-for-bit
+        ny_, nx_, nz_ = self.ny, self.nx, self.nz
+        eax = eids // nvox
+        rem = eids % nvox
+        ek = rem // (ny_ * nx_)
+        ej = (rem // nx_) % ny_
+        ei = rem % nx_
+        offs = np.array([_OFFS[a] for a in range(3)], np.int64)  # (3,4,3)
+        di = offs[eax, :, 0]  # (n,4)
+        dj = offs[eax, :, 1]
+        dk = offs[eax, :, 2]
+        ii2 = ei[:, None] + di
+        jj2 = ej[:, None] + dj
+        kk2 = ek[:, None] + dk
+        in_rng = (
+            (ii2 >= 0) & (ii2 < nx_)
+            & (jj2 >= 0) & (jj2 < ny_)
+            & (kk2 >= 0) & (kk2 < nz_)
+        )
+        lin = (kk2 * ny_ + jj2) * nx_ + ii2  # (n,4)
+        own = (ek * ny_ + ej) * nx_ + ei
+        uvox = np.unique(np.concatenate([lin[in_rng], own]))
+        if len(uvox) != n_vox:
+            raise RuntimeError(
+                f"DC payload voxel-count mismatch: derived {len(uvox)} "
+                f"!= kernel {n_vox}"
+            )
+        quad_ok = in_rng.all(axis=1)
+        vid = np.searchsorted(uvox, lin)
+        verts = np.asarray(verts[:n_vox])
+
         tris = []
         blocks = []
         # per-axis two-block emission, identical order to the host path
         for a in range(3):
-            m = ok & (axis == a)
+            m = quad_ok & (eax == a)
             if not m.any():
                 continue
             quads = verts[vid[m]]  # (E,4,3)
-            f = flip[m]
+            f = flips[m]
             quads[f] = quads[f][:, ::-1, :]
             tris.append(quads[:, [0, 1, 2], :])
             tris.append(quads[:, [2, 3, 0], :])
