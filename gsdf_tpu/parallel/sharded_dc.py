@@ -1,0 +1,252 @@
+"""Multi-chip dual contouring: z-slab shard_map over a device mesh.
+
+Same scale-out design as the marching-cubes sharded path
+(parallel/sharded.py, SURVEY.md §2.10): each shard evaluates its slab of
+the corner grid locally (positions synthesized on device from global
+indices — pure data parallel), detects and compacts its active edges,
+solves the QEF for ITS voxels on device, and ships one fixed-size v2
+mesh payload; the only cross-shard data is redundantly recomputed halo
+planes — zero collectives until the final gather.
+
+DC needs a 2-plane halo where MC needs 1: a voxel at slab layer k
+gathers QEF rows from x/y edges at layers {k, k+1} (render/
+dual_contour._OFFS has dk in {-1, 0}), so a shard owning voxel layers
+[k0, k0+c) must see edge layers [k0, k0+c] and therefore corner planes
+[k0, k0+c+1] — c+2 planes. The halo edge layer k0+c contributes rows to
+owned voxels only (dc_mesh_emit n_own=c drops claims on the next
+shard's voxels); shard d's halo edges are recomputed by shard d+1 as
+its own, with bit-identical values (elementwise eval of identical f32
+positions).
+
+Merged-payload identity: every global voxel is owned by exactly one
+shard, its QEF rows have the same values and the same relative addend
+order locally as in the whole-grid render (local edge ids are
+order-isomorphic to global ids over the shard's edge set), so the
+per-voxel sums — and the vertices — reproduce the single-device render
+bit-for-bit; concatenated per-slab vertex slots are exactly the global
+ascending-unique voxel table finish_dc_mesh derives. The host-side quad
+emission is the SAME finish_dc_mesh the single-device path uses
+(pinned in tests/test_sharded_dc.py).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..core.node import Shader3D
+from ..render.dual_contour import (
+    DualContourLeastSquares,
+    dc_mesh_emit,
+    finish_dc_mesh,
+    unpack_dc_mesh_payload,
+)
+from .sharded import AXIS, _replicated
+
+_f32 = np.float32
+
+_step_cache: dict = {}
+
+
+def sharded_dc_step(
+    tree: Shader3D, mesh, shape_local, c_own: int, a_size: int,
+    w_size: int, e_size: int, norm_step: float, sqrt_lambda: float,
+    parametric: bool = False,
+):
+    """Build the per-shard DC step: slab+halo grid eval -> dc_mesh_emit
+    (the ONE emit implementation, render/dual_contour.py) with this
+    shard's layer offset and voxel ownership. Returns a jitted fn
+    (origin, res[, params]) -> (n_dev, L) packed v2 payloads.
+
+    shape_local = (c_own+2, nj, ni) corner planes per shard; ids in the
+    payload are LOCAL to the shard's extended (c_own+1)-layer edge
+    space — render_dc_sharded globalizes them."""
+    nk_l, nj, ni = (int(x) for x in shape_local)
+    c = int(c_own)
+    if nk_l != c + 2:
+        raise ValueError("shard shape must carry exactly 2 halo planes")
+    A, W, E = int(a_size), int(w_size), int(e_size)
+    half = _f32(norm_step) * _f32(0.5)
+    inv_step = _f32(1.0) / _f32(norm_step)
+    lam = _f32(sqrt_lambda) * inv_step
+
+    if parametric:
+        from ..eval.parametric import _bind_params, param_spec, structural_hash
+
+        tree.tree_hash()  # pre-cache node hashes before tracer binding
+        key = (
+            "dc-param", structural_hash(tree), tuple(shape_local), c, A, W,
+            E, half, lam, mesh,
+        )
+    else:
+        key = ("dc", tree.tree_hash(), tuple(shape_local), c, A, W, E, half,
+               lam, mesh)
+    cached = _step_cache.get(key)
+    if cached is not None:
+        return cached
+
+    def body(origin, res):
+        me = jax.lax.axis_index(AXIS)
+        k0 = me * c  # first owned voxel layer (int32)
+        iz = (
+            jax.lax.broadcasted_iota(jnp.float32, (nk_l, nj, ni), 0)
+            + k0.astype(jnp.float32)
+        )
+        iy = jax.lax.broadcasted_iota(jnp.float32, (nk_l, nj, ni), 1)
+        ix = jax.lax.broadcasted_iota(jnp.float32, (nk_l, nj, ni), 2)
+        p = jnp.stack(
+            [origin[0] + ix * res, origin[1] + iy * res, origin[2] + iz * res],
+            axis=-1,
+        )
+        grid = tree.distance(p)  # slab + 2 halo planes
+        return dc_mesh_emit(
+            tree, grid, origin, res, A, W, E, half, inv_step, lam,
+            k0=k0, n_own=c,
+        )[None]
+
+    if parametric:
+        spec = param_spec(tree)
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=P(AXIS, None),
+            check_vma=False,  # see sharded.sharded_grid_eval
+        )
+        def step(origin, res, flat):
+            with _bind_params(spec, flat):
+                return body(origin, res)
+
+    else:
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=P(AXIS, None),
+            check_vma=False,  # see sharded.sharded_grid_eval
+        )
+        def step(origin, res):
+            return body(origin, res)
+
+    jitted = jax.jit(step)
+    _step_cache[key] = jitted
+    return jitted
+
+
+def render_dc_sharded(
+    tree: Shader3D, mesh, res: float,
+    contourer: DualContourLeastSquares | None = None,
+    parametric: bool = False, size_hint=None,
+):
+    """Multi-chip dual-contour render: returns the SAME (T,3,3) f32
+    triangle array as DualContourRenderer(...).render() on one device
+    (bit-identical vertices and order — pinned in test_sharded_dc.py).
+
+    Grid sizing matches DualContourRenderer (bounds shifted by -res/2,
+    reference glrender/dual_contour.go:31-33); the slab axis is padded
+    to a multiple of the mesh size (padded layers lie beyond the far
+    field and stay inactive). parametric=True compiles per tree
+    STRUCTURE with grow-only size hints — the zero-recompile edit
+    contract of render_sharded_compact, extended to DC."""
+    from ..ops.mc_emit import bucket as _bucket
+
+    contourer = contourer or DualContourLeastSquares()
+    res32 = _f32(res)
+    if res32 <= 0:
+        raise ValueError("invalid dual contour resolution")
+    bb = tree.bounds().add(np.full(3, -float(res32) / 2, _f32))
+    sz = bb.size()
+    nxv = int(math.ceil(_f32(sz[0]) / res32)) + 1
+    nyv = int(math.ceil(_f32(sz[1]) / res32)) + 1
+    nzv = int(math.ceil(_f32(sz[2]) / res32)) + 1
+    n_dev = mesh.devices.size
+    nz_p = nzv + (-nzv) % n_dev
+    c = nz_p // n_dev
+    plane = nyv * nxv
+    nvox_ext = (c + 1) * plane  # per-shard extended edge-id space
+    if 3 * nz_p * plane >= 1 << 31:
+        # same int32 edge-id ceiling as the single-device path
+        raise ValueError("grid too large for int32 edge ids (3*nvox >= 2^31)")
+    shape_local = (c + 2, nyv + 1, nxv + 1)
+
+    origin = _replicated(mesh, bb.min)
+    res_dev = _replicated(mesh, res32)
+    if parametric:
+        from ..eval.parametric import pack_params, structural_hash
+
+        hint_key = (
+            "dc-hint-param", structural_hash(tree), shape_local, mesh,
+            _f32(contourer.norm_step),
+        )
+        params = _replicated(mesh, pack_params(tree))
+    else:
+        hint_key = (
+            "dc-hint", tree.tree_hash(), shape_local, mesh,
+            _f32(contourer.norm_step),
+        )
+        params = None
+    if size_hint is None:
+        size_hint = _step_cache.get(hint_key)
+    if size_hint:
+        a_size, w_size, e_size = size_hint
+    else:
+        a_size = _bucket(int(12 * nvox_ext ** (2 / 3)) + 4096)
+        w_size = a_size
+        e_size = _bucket(max(4096, a_size // 8), granule=4096)
+
+    while True:
+        step = sharded_dc_step(
+            tree, mesh, shape_local, c, a_size, w_size, e_size,
+            contourer.norm_step, contourer.sqrt_lambda,
+            parametric=parametric,
+        )
+        args = (origin, res_dev, params) if parametric else (origin, res_dev)
+        packed = np.ascontiguousarray(np.asarray(step(*args)))
+        counts = np.ascontiguousarray(packed[:, :3]).view(np.int32)
+        worst_a = int(counts[:, 0].max(initial=0))
+        worst_w = int(counts[:, 1].max(initial=0))
+        worst_e = int(counts[:, 2].max(initial=0))
+        if worst_a <= a_size and worst_w <= w_size and worst_e <= e_size:
+            break
+        if worst_a > a_size:
+            a_size = _bucket(worst_a, granule=16384)
+        if worst_w > w_size:
+            w_size = _bucket(worst_w, granule=16384)
+        if worst_e > e_size:
+            e_size = _bucket(worst_e, granule=4096)
+    # grow-only hints: successive (parametric) renders keep one
+    # executable per structure, the sharded-MC discipline
+    _step_cache[hint_key] = (a_size, w_size, e_size)
+
+    verts_parts, eax_parts, lin_parts, flip_parts = [], [], [], []
+    n_vox_total = 0
+    for d in range(n_dev):
+        verts, eids, flips, (n_e, n_v, _n_x) = unpack_dc_mesh_payload(
+            packed[d], a_size, w_size, e_size
+        )
+        ax = eids // nvox_ext
+        rem = eids % nvox_ext
+        own = (rem // plane) < c  # drop halo edges (next shard owns them)
+        eax_parts.append(ax[own])
+        lin_parts.append(rem[own] + d * c * plane)  # local -> global lin
+        flip_parts.append(flips[own])
+        verts_parts.append(verts[:n_v])
+        n_vox_total += n_v
+    eax = np.concatenate(eax_parts)
+    if len(eax) == 0:
+        return np.empty((0, 3, 3), _f32)
+    tris, _blocks = finish_dc_mesh(
+        np.concatenate(verts_parts),
+        eax,
+        np.concatenate(lin_parts),
+        np.concatenate(flip_parts),
+        nxv, nyv, nz_p, n_vox_total,
+    )
+    return tris

@@ -176,6 +176,338 @@ _OFFS = {
 _OFF5 = {a: _OFFS[a] + [(0, 0, 0)] for a in _OFFS}
 
 
+def dc_mesh_emit(
+    tree, grid, origin, res, a_size, w_size, e_size, half, inv_step, lam,
+    k0=None, n_own=None,
+):
+    """The ONE dual-contour mesh emit (CLAUDE.md one-emit discipline,
+    mirroring ops/mc_emit for marching cubes): active-edge compaction ->
+    in-kernel central-difference normals -> edge->voxel scatter (sort +
+    sorted segment-sum) -> batched elementwise 3x3 QEF solve -> vertex
+    placement -> v2 packed payload. Consumed by the single-device
+    pipeline (_dc_mesh_fn) and the multi-chip z-slab path
+    (parallel/sharded_dc.py) so the two can never diverge.
+
+    `grid` is the corner-distance grid for this (slab of the) render:
+    (n_layers+1, ny+1, nx+1) planes covering edge layers [0, n_layers).
+    `n_own` restricts QEF voxel ownership to layers [0, n_own) — the
+    sharded path passes n_own = n_layers-1 so its one extra (halo) edge
+    layer contributes rows to owned voxels without claiming the next
+    shard's voxels; None means every layer is owned (single device).
+    `k0` (traced int32 layer offset, or None for zero) globalizes the z
+    index in POSITION synthesis only (crossing points, voxel origins,
+    bias coordinates) — ids in the payload stay slab-local; the host
+    globalizes them with the same offset. Integer layer indices are
+    exact in f32, so a sharded voxel's QEF sees bit-identical row values
+    to the single-device render of the whole grid."""
+    nk, nj, ni = grid.shape
+    n_layers, ny, nx = nk - 1, nj - 1, ni - 1
+    if n_own is None:
+        n_own = n_layers
+    nvox = n_layers * ny * nx  # edge-id voxel space (incl. halo layer)
+    nz = int(n_own)  # owned-voxel layer count
+    A = int(a_size)
+    W = int(w_size)
+    E = int(e_size)
+    if A % 32:
+        raise ValueError("a_size must be a multiple of 32 (flip-bit packing)")
+
+    def _gz(idx):
+        # global z index for position synthesis (exact in f32: integer
+        # layer indices); k0=None keeps the single-device jaxpr free of
+        # the (traced, unfoldable) +0 add
+        return idx if k0 is None else idx + k0
+
+    d0 = grid[:-1, :-1, :-1]
+    dxx = grid[:-1, :-1, 1:]
+    dyy = grid[:-1, 1:, :-1]
+    dzz = grid[1:, :-1, :-1]
+    s0 = jnp.signbit(d0)
+    flags = jnp.stack(
+        [
+            s0 != jnp.signbit(dxx),
+            s0 != jnp.signbit(dyy),
+            s0 != jnp.signbit(dzz),
+        ]
+    ).reshape(-1)
+    safe = lambda de: jnp.where(de == d0, 1.0, de - d0)  # noqa: E731
+    t3 = jnp.stack(
+        [-d0 / safe(dxx), -d0 / safe(dyy), -d0 / safe(dzz)]
+    ).reshape(-1)
+    flip3 = jnp.stack(
+        [(dxx - d0) < 0, (dyy - d0) < 0, (dzz - d0) < 0]
+    ).reshape(-1)
+
+    # sort-based edge compaction (mc_emit.compact_indices, the block-
+    # hierarchical path): a cumsum+scatter compaction over the 3*nvox
+    # edge mask serialized on TPU — measured ~200 ms of the warm bolt
+    # render; the slot value IS the flat edge id, so t/flip follow by
+    # two surface-sized gathers
+    from ..ops import mc_emit as _mc
+
+    n_edges = jnp.sum(flags.astype(jnp.int32))
+    slots = _mc.compact_indices(flags, A)
+    valid = slots >= 0
+    eid = jnp.maximum(slots, 0)
+    tv = jnp.where(valid, t3[eid], 0.0)
+    eflip = flip3[eid] & valid
+
+    eax = eid // nvox
+    rem = eid % nvox
+    ek = rem // (ny * nx)
+    ej = (rem // nx) % ny
+    ei = rem % nx
+
+    # crossing points
+    pt = jnp.stack(
+        [
+            origin[0] + ei.astype(jnp.float32) * res,
+            origin[1] + ej.astype(jnp.float32) * res,
+            origin[2] + _gz(ek).astype(jnp.float32) * res,
+        ],
+        axis=-1,
+    )
+    bump = tv * res
+    pt = pt + jnp.stack(
+        [
+            jnp.where(eax == 0, bump, 0.0),
+            jnp.where(eax == 1, bump, 0.0),
+            jnp.where(eax == 2, bump, 0.0),
+        ],
+        axis=-1,
+    )
+    # central-difference normals on the compacted set, pre-scaled by
+    # 1/norm_step (solution-invariant uniform row scaling, see
+    # _dc_mesh_fn). ONE batched distance call over the 6 offset sets: six
+    # separate calls would trace the (deep) tree six more times —
+    # measured minutes of extra Mosaic-free XLA compile on screw
+    # trees — while the concatenated batch costs one extra trace.
+    eye = jnp.eye(3, dtype=jnp.float32) * half
+    pts6 = jnp.concatenate(
+        [pt + eye[0], pt + eye[1], pt + eye[2],
+         pt - eye[0], pt - eye[1], pt - eye[2]]
+    )  # (6A,3)
+    d6 = tree.distance(pts6).reshape(6, A)
+    nrm = jnp.stack(
+        [(d6[d] - d6[3 + d]) * inv_step for d in range(3)], axis=-1
+    )  # (A,3)
+
+    # --- edge -> voxel contributions (A,5) ------------------------
+    SENT = nz * ny * nx  # sentinel: sorts after every owned voxel id
+    con_vox = []
+    for c in range(5):
+        di = jnp.select(
+            [eax == 0, eax == 1], [_OFF5[0][c][0], _OFF5[1][c][0]],
+            _OFF5[2][c][0],
+        )
+        dj = jnp.select(
+            [eax == 0, eax == 1], [_OFF5[0][c][1], _OFF5[1][c][1]],
+            _OFF5[2][c][1],
+        )
+        dk = jnp.select(
+            [eax == 0, eax == 1], [_OFF5[0][c][2], _OFF5[1][c][2]],
+            _OFF5[2][c][2],
+        )
+        ii2, jj2, kk2 = ei + di, ej + dj, ek + dk
+        ok = (
+            valid
+            & (ii2 >= 0) & (ii2 < nx)
+            & (jj2 >= 0) & (jj2 < ny)
+            & (kk2 >= 0) & (kk2 < nz)
+        )
+        lin = (kk2 * ny + jj2) * nx + ii2
+        con_vox.append(jnp.where(ok, lin, SENT))
+    con_vox = jnp.stack(con_vox, axis=1).reshape(-1)  # (5A,)
+
+    order = jnp.argsort(con_vox)
+    sorted_vox = con_vox[order]
+    src_slot = order // 5  # originating edge slot
+    prev = jnp.concatenate(
+        [jnp.full((1,), -1, sorted_vox.dtype), sorted_vox[:-1]]
+    )
+    live = sorted_vox != SENT
+    uniq = live & (sorted_vox != prev)
+    seg = jnp.cumsum(uniq.astype(jnp.int32)) - 1
+    n_vox = seg[-1] + 1
+    seg_ids = jnp.where(live, seg, W)  # W = drop
+
+    # unique voxel ids, ascending, trailing slots = SENT
+    uvox = jnp.full((W + 1,), SENT, jnp.int32).at[
+        jnp.where(uniq, seg, W)
+    ].set(sorted_vox, mode="drop")[:W]
+
+    # contribution payloads gathered through the sort
+    ncon = jnp.where(live[:, None], nrm[src_slot], 0.0)  # (5A,3)
+    # q in normalized voxel coords: (pt - origin)/res - voxel index
+    vk = sorted_vox // (ny * nx)
+    vj = (sorted_vox // nx) % ny
+    vi = sorted_vox % nx
+    qcon = (pt[src_slot] - origin[None, :]) / res - jnp.stack(
+        [vi, vj, _gz(vk)], axis=-1
+    ).astype(jnp.float32)
+    qcon = jnp.where(live[:, None], qcon, 0.0)
+    ndq = jnp.sum(ncon * qcon, axis=-1)  # n . q per row
+
+    payload = jnp.concatenate(
+        [
+            ncon[:, 0:1] * ncon,                       # xx, xy, xz
+            ncon[:, 1:2] * ncon[:, 1:],                # yy, yz
+            ncon[:, 2:3] * ncon[:, 2:],                # zz
+            ncon * ndq[:, None],                       # Atb
+            qcon,                                      # q sums
+            live[:, None].astype(jnp.float32),         # count
+        ],
+        axis=1,
+    )  # (5A, 13)
+    sums = jax.ops.segment_sum(
+        payload, seg_ids, num_segments=W, indices_are_sorted=True
+    )  # (W,13)
+
+    cnt = jnp.maximum(sums[:, 12], 1.0)
+    bias = sums[:, 9:12] / cnt[:, None]
+    l2 = lam * lam
+    axx = sums[:, 0] + l2
+    axy = sums[:, 1]
+    axz = sums[:, 2]
+    ayy = sums[:, 3] + l2
+    ayz = sums[:, 4]
+    azz = sums[:, 5] + l2
+    # solve shifted to the bias point: with x = bias + y the system
+    # (M+l2*I)y = Atb - M*bias has ~zero right-hand side along
+    # M's (near-)null directions, so the f32 solve returns y ~ 0
+    # there (x -> bias, exactly the regularization's intent) instead
+    # of amplifying rounding noise by 1/l2 — without this shift the
+    # chiseled mode (l2 = 1e-5 against O(1) normal rows) wanders up
+    # to the full clamp range on planar voxels
+    bx = sums[:, 6] - (
+        sums[:, 0] * bias[:, 0] + axy * bias[:, 1] + axz * bias[:, 2]
+    )
+    by = sums[:, 7] - (
+        axy * bias[:, 0] + sums[:, 3] * bias[:, 1] + ayz * bias[:, 2]
+    )
+    bz = sums[:, 8] - (
+        axz * bias[:, 0] + ayz * bias[:, 1] + sums[:, 5] * bias[:, 2]
+    )
+
+    # Batched 3x3 symmetric solve via Jacobi eigendecomposition with
+    # a spectral floor. An adjugate/Cramer solve is unusable here in
+    # f32: for near-rank-1 M (planar voxels) the true determinant
+    # ~c*l2^2 sits far below the rounding noise of the cofactor
+    # products, and the quotient wanders across the full clamp range
+    # on a handful of voxels. Eigenvalues of a symmetric matrix are
+    # stable to entry perturbation (Weyl), and for clustered
+    # eigenvalues the 1/(lam+l2) weights agree, so eigenvector
+    # instability inside a cluster cancels. Directions whose
+    # eigenvalue is below the f32 noise floor of M are damped to the
+    # bias point (y=0 there) — exactly the regularization's intent.
+    # ELEMENTWISE Jacobi: the obvious einsum formulation dispatches
+    # batched 3x3 matmuls, which XLA pads onto the MXU at ~1000x
+    # waste (measured ~2 s of the warm bolt render); explicit
+    # row/column rotations keep everything on the VPU.
+    tr = axx + ayy + azz
+    M = {
+        (0, 0): axx, (0, 1): axy, (0, 2): axz,
+        (1, 1): ayy, (1, 2): ayz, (2, 2): azz,
+    }
+    one = jnp.ones_like(axx)
+    zero = jnp.zeros_like(axx)
+    V = {
+        (r, cidx): (one if r == cidx else zero)
+        for r in range(3)
+        for cidx in range(3)
+    }
+
+    def mget(r, cidx):
+        return M[(r, cidx)] if r <= cidx else M[(cidx, r)]
+
+    for _sweep in range(5):
+        for (pp, qq) in ((0, 1), (0, 2), (1, 2)):
+            app = mget(pp, pp)
+            aqq = mget(qq, qq)
+            apq = mget(pp, qq)
+            theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
+            cth = jnp.cos(theta)
+            sth = jnp.sin(theta)
+            rr = 3 - pp - qq  # the untouched index
+            arp = mget(rr, pp)
+            arq = mget(rr, qq)
+            c2, s2, cs = cth * cth, sth * sth, cth * sth
+            napp = c2 * app - 2.0 * cs * apq + s2 * aqq
+            naqq = s2 * app + 2.0 * cs * apq + c2 * aqq
+            # rotated off-diagonal (pp,qq) is ~0 by construction
+            napq = cs * (app - aqq) + (c2 - s2) * apq
+            narp = cth * arp - sth * arq
+            narq = sth * arp + cth * arq
+            M[(pp, pp)] = napp
+            M[(qq, qq)] = naqq
+            M[(pp, qq) if pp <= qq else (qq, pp)] = napq
+            M[(min(rr, pp), max(rr, pp))] = narp
+            M[(min(rr, qq), max(rr, qq))] = narq
+            for r in range(3):
+                vp = V[(r, pp)]
+                vq = V[(r, qq)]
+                V[(r, pp)] = cth * vp - sth * vq
+                V[(r, qq)] = sth * vp + cth * vq
+    lam3 = [mget(0, 0), mget(1, 1), mget(2, 2)]
+    # spectral floor: eigenvalues below the accumulated-f32 noise of
+    # M are indistinguishable from zero; l2 already floors the well-
+    # conditioned case
+    floor = jnp.maximum(l2, 1e-6 * tr)
+    rhs = [bx, by, bz]
+    # y = V diag(1/(lam+floor)) V^T rhs, expanded elementwise
+    t = [
+        sum(V[(r, cidx)] * rhs[r] for r in range(3))
+        / (jnp.maximum(lam3[cidx], 0.0) + floor)
+        for cidx in range(3)
+    ]
+    y = jnp.stack(
+        [sum(V[(r, cidx)] * t[cidx] for cidx in range(3)) for r in range(3)],
+        axis=-1,
+    )
+    x = jnp.clip(bias + y, -0.1, 1.1)
+    uk = uvox // (ny * nx)
+    uj = (uvox // nx) % ny
+    ui = uvox % nx
+    vo = jnp.stack([ui, uj, _gz(uk)], axis=-1).astype(jnp.float32) * res
+    verts = jnp.where(
+        (uvox != SENT)[:, None], origin[None, :] + vo + x * res, 0.0
+    )  # (W,3)
+
+    # --- pack: delta-encoded edge ids + flip bits (payload v2) ----
+    from ..ops.compact_field import _pack_u8
+
+    prev_e = jnp.concatenate([jnp.zeros((1,), eid.dtype), eid[:-1]])
+    delta = jnp.where(valid, eid - prev_e, 0)  # valid is a prefix mask
+    esc = valid & (delta >= 255)
+    n_exc = jnp.sum(esc.astype(jnp.int32))
+    deltas = _pack_u8(jnp.where(esc, 255, delta), valid, A)
+    pos = _mc.compact_indices(esc, E)
+    evalid = pos >= 0
+    psafe = jnp.maximum(pos, 0)
+    exc_pos = jnp.where(evalid, psafe, 0).astype(jnp.int32)
+    exc_delta = jnp.where(evalid, delta[psafe], 0).astype(jnp.int32)
+    fb = (eflip & valid).reshape(A // 32, 32).astype(jnp.uint32)
+    flip_words = jnp.sum(
+        fb << jnp.arange(32, dtype=jnp.uint32)[None, :],
+        axis=1,
+        dtype=jnp.uint32,
+    )
+
+    counts = jnp.stack(
+        [n_edges, n_vox, n_exc, jnp.asarray(2, n_edges.dtype)]
+    )
+    return jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(counts, jnp.float32),
+            verts.reshape(-1),
+            jax.lax.bitcast_convert_type(deltas, jnp.float32),
+            jax.lax.bitcast_convert_type(flip_words, jnp.float32),
+            jax.lax.bitcast_convert_type(exc_pos, jnp.float32),
+            jax.lax.bitcast_convert_type(exc_delta, jnp.float32),
+        ]
+    )
+
+
 def _dc_mesh_fn(
     tree, shape, a_size, w_size, e_size, norm_step, sqrt_lambda, device,
     parametric=False,
@@ -249,293 +581,8 @@ def _dc_mesh_fn(
             axis=-1,
         )
         grid = tree.distance(p)
-        d0 = grid[:-1, :-1, :-1]
-        dxx = grid[:-1, :-1, 1:]
-        dyy = grid[:-1, 1:, :-1]
-        dzz = grid[1:, :-1, :-1]
-        s0 = jnp.signbit(d0)
-        flags = jnp.stack(
-            [
-                s0 != jnp.signbit(dxx),
-                s0 != jnp.signbit(dyy),
-                s0 != jnp.signbit(dzz),
-            ]
-        ).reshape(-1)
-        safe = lambda de: jnp.where(de == d0, 1.0, de - d0)  # noqa: E731
-        t3 = jnp.stack(
-            [-d0 / safe(dxx), -d0 / safe(dyy), -d0 / safe(dzz)]
-        ).reshape(-1)
-        flip3 = jnp.stack(
-            [(dxx - d0) < 0, (dyy - d0) < 0, (dzz - d0) < 0]
-        ).reshape(-1)
-
-        # sort-based edge compaction (mc_emit.compact_indices, the block-
-        # hierarchical path): a cumsum+scatter compaction over the 3*nvox
-        # edge mask serialized on TPU — measured ~200 ms of the warm bolt
-        # render; the slot value IS the flat edge id, so t/flip follow by
-        # two surface-sized gathers
-        from ..ops import mc_emit as _mc
-
-        n_edges = jnp.sum(flags.astype(jnp.int32))
-        slots = _mc.compact_indices(flags, A)
-        valid = slots >= 0
-        eid = jnp.maximum(slots, 0)
-        tv = jnp.where(valid, t3[eid], 0.0)
-        eflip = flip3[eid] & valid
-
-        eax = eid // nvox
-        rem = eid % nvox
-        ek = rem // (ny * nx)
-        ej = (rem // nx) % ny
-        ei = rem % nx
-
-        # crossing points
-        pt = jnp.stack(
-            [
-                origin[0] + ei.astype(jnp.float32) * res,
-                origin[1] + ej.astype(jnp.float32) * res,
-                origin[2] + ek.astype(jnp.float32) * res,
-            ],
-            axis=-1,
-        )
-        bump = tv * res
-        pt = pt + jnp.stack(
-            [
-                jnp.where(eax == 0, bump, 0.0),
-                jnp.where(eax == 1, bump, 0.0),
-                jnp.where(eax == 2, bump, 0.0),
-            ],
-            axis=-1,
-        )
-        # central-difference normals on the compacted set, pre-scaled by
-        # 1/norm_step (solution-invariant uniform row scaling, see
-        # above). ONE batched distance call over the 6 offset sets: six
-        # separate calls would trace the (deep) tree six more times —
-        # measured minutes of extra Mosaic-free XLA compile on screw
-        # trees — while the concatenated batch costs one extra trace.
-        eye = jnp.eye(3, dtype=jnp.float32) * half
-        pts6 = jnp.concatenate(
-            [pt + eye[0], pt + eye[1], pt + eye[2],
-             pt - eye[0], pt - eye[1], pt - eye[2]]
-        )  # (6A,3)
-        d6 = tree.distance(pts6).reshape(6, A)
-        nrm = jnp.stack(
-            [(d6[d] - d6[3 + d]) * inv_step for d in range(3)], axis=-1
-        )  # (A,3)
-
-        # --- edge -> voxel contributions (A,5) ------------------------
-        SENT = nvox  # sentinel: sorts after every valid voxel id
-        con_vox = []
-        for c in range(5):
-            di = jnp.select(
-                [eax == 0, eax == 1], [_OFF5[0][c][0], _OFF5[1][c][0]],
-                _OFF5[2][c][0],
-            )
-            dj = jnp.select(
-                [eax == 0, eax == 1], [_OFF5[0][c][1], _OFF5[1][c][1]],
-                _OFF5[2][c][1],
-            )
-            dk = jnp.select(
-                [eax == 0, eax == 1], [_OFF5[0][c][2], _OFF5[1][c][2]],
-                _OFF5[2][c][2],
-            )
-            ii2, jj2, kk2 = ei + di, ej + dj, ek + dk
-            ok = (
-                valid
-                & (ii2 >= 0) & (ii2 < nx)
-                & (jj2 >= 0) & (jj2 < ny)
-                & (kk2 >= 0) & (kk2 < nz)
-            )
-            lin = (kk2 * ny + jj2) * nx + ii2
-            con_vox.append(jnp.where(ok, lin, SENT))
-        con_vox = jnp.stack(con_vox, axis=1).reshape(-1)  # (5A,)
-
-        order = jnp.argsort(con_vox)
-        sorted_vox = con_vox[order]
-        src_slot = order // 5  # originating edge slot
-        prev = jnp.concatenate(
-            [jnp.full((1,), -1, sorted_vox.dtype), sorted_vox[:-1]]
-        )
-        live = sorted_vox != SENT
-        uniq = live & (sorted_vox != prev)
-        seg = jnp.cumsum(uniq.astype(jnp.int32)) - 1
-        n_vox = seg[-1] + 1
-        seg_ids = jnp.where(live, seg, W)  # W = drop
-
-        # unique voxel ids, ascending, trailing slots = SENT
-        uvox = jnp.full((W + 1,), SENT, jnp.int32).at[
-            jnp.where(uniq, seg, W)
-        ].set(sorted_vox, mode="drop")[:W]
-
-        # contribution payloads gathered through the sort
-        ncon = jnp.where(live[:, None], nrm[src_slot], 0.0)  # (5A,3)
-        # q in normalized voxel coords: (pt - origin)/res - voxel index
-        vk = sorted_vox // (ny * nx)
-        vj = (sorted_vox // nx) % ny
-        vi = sorted_vox % nx
-        qcon = (pt[src_slot] - origin[None, :]) / res - jnp.stack(
-            [vi, vj, vk], axis=-1
-        ).astype(jnp.float32)
-        qcon = jnp.where(live[:, None], qcon, 0.0)
-        ndq = jnp.sum(ncon * qcon, axis=-1)  # n . q per row
-
-        payload = jnp.concatenate(
-            [
-                ncon[:, 0:1] * ncon,                       # xx, xy, xz
-                ncon[:, 1:2] * ncon[:, 1:],                # yy, yz
-                ncon[:, 2:3] * ncon[:, 2:],                # zz
-                ncon * ndq[:, None],                       # Atb
-                qcon,                                      # q sums
-                live[:, None].astype(jnp.float32),         # count
-            ],
-            axis=1,
-        )  # (5A, 13)
-        sums = jax.ops.segment_sum(
-            payload, seg_ids, num_segments=W, indices_are_sorted=True
-        )  # (W,13)
-
-        cnt = jnp.maximum(sums[:, 12], 1.0)
-        bias = sums[:, 9:12] / cnt[:, None]
-        l2 = lam * lam
-        axx = sums[:, 0] + l2
-        axy = sums[:, 1]
-        axz = sums[:, 2]
-        ayy = sums[:, 3] + l2
-        ayz = sums[:, 4]
-        azz = sums[:, 5] + l2
-        # solve shifted to the bias point: with x = bias + y the system
-        # (M+l2*I)y = Atb - M*bias has ~zero right-hand side along
-        # M's (near-)null directions, so the f32 solve returns y ~ 0
-        # there (x -> bias, exactly the regularization's intent) instead
-        # of amplifying rounding noise by 1/l2 — without this shift the
-        # chiseled mode (l2 = 1e-5 against O(1) normal rows) wanders up
-        # to the full clamp range on planar voxels
-        bx = sums[:, 6] - (
-            sums[:, 0] * bias[:, 0] + axy * bias[:, 1] + axz * bias[:, 2]
-        )
-        by = sums[:, 7] - (
-            axy * bias[:, 0] + sums[:, 3] * bias[:, 1] + ayz * bias[:, 2]
-        )
-        bz = sums[:, 8] - (
-            axz * bias[:, 0] + ayz * bias[:, 1] + sums[:, 5] * bias[:, 2]
-        )
-
-        # Batched 3x3 symmetric solve via Jacobi eigendecomposition with
-        # a spectral floor. An adjugate/Cramer solve is unusable here in
-        # f32: for near-rank-1 M (planar voxels) the true determinant
-        # ~c*l2^2 sits far below the rounding noise of the cofactor
-        # products, and the quotient wanders across the full clamp range
-        # on a handful of voxels. Eigenvalues of a symmetric matrix are
-        # stable to entry perturbation (Weyl), and for clustered
-        # eigenvalues the 1/(lam+l2) weights agree, so eigenvector
-        # instability inside a cluster cancels. Directions whose
-        # eigenvalue is below the f32 noise floor of M are damped to the
-        # bias point (y=0 there) — exactly the regularization's intent.
-        # ELEMENTWISE Jacobi: the obvious einsum formulation dispatches
-        # batched 3x3 matmuls, which XLA pads onto the MXU at ~1000x
-        # waste (measured ~2 s of the warm bolt render); explicit
-        # row/column rotations keep everything on the VPU.
-        tr = axx + ayy + azz
-        M = {
-            (0, 0): axx, (0, 1): axy, (0, 2): axz,
-            (1, 1): ayy, (1, 2): ayz, (2, 2): azz,
-        }
-        one = jnp.ones_like(axx)
-        zero = jnp.zeros_like(axx)
-        V = {
-            (r, cidx): (one if r == cidx else zero)
-            for r in range(3)
-            for cidx in range(3)
-        }
-
-        def mget(r, cidx):
-            return M[(r, cidx)] if r <= cidx else M[(cidx, r)]
-
-        for _sweep in range(5):
-            for (pp, qq) in ((0, 1), (0, 2), (1, 2)):
-                app = mget(pp, pp)
-                aqq = mget(qq, qq)
-                apq = mget(pp, qq)
-                theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
-                cth = jnp.cos(theta)
-                sth = jnp.sin(theta)
-                rr = 3 - pp - qq  # the untouched index
-                arp = mget(rr, pp)
-                arq = mget(rr, qq)
-                c2, s2, cs = cth * cth, sth * sth, cth * sth
-                napp = c2 * app - 2.0 * cs * apq + s2 * aqq
-                naqq = s2 * app + 2.0 * cs * apq + c2 * aqq
-                # rotated off-diagonal (pp,qq) is ~0 by construction
-                napq = cs * (app - aqq) + (c2 - s2) * apq
-                narp = cth * arp - sth * arq
-                narq = sth * arp + cth * arq
-                M[(pp, pp)] = napp
-                M[(qq, qq)] = naqq
-                M[(pp, qq) if pp <= qq else (qq, pp)] = napq
-                M[(min(rr, pp), max(rr, pp))] = narp
-                M[(min(rr, qq), max(rr, qq))] = narq
-                for r in range(3):
-                    vp = V[(r, pp)]
-                    vq = V[(r, qq)]
-                    V[(r, pp)] = cth * vp - sth * vq
-                    V[(r, qq)] = sth * vp + cth * vq
-        lam3 = [mget(0, 0), mget(1, 1), mget(2, 2)]
-        # spectral floor: eigenvalues below the accumulated-f32 noise of
-        # M are indistinguishable from zero; l2 already floors the well-
-        # conditioned case
-        floor = jnp.maximum(l2, 1e-6 * tr)
-        rhs = [bx, by, bz]
-        # y = V diag(1/(lam+floor)) V^T rhs, expanded elementwise
-        t = [
-            sum(V[(r, cidx)] * rhs[r] for r in range(3))
-            / (jnp.maximum(lam3[cidx], 0.0) + floor)
-            for cidx in range(3)
-        ]
-        y = jnp.stack(
-            [sum(V[(r, cidx)] * t[cidx] for cidx in range(3)) for r in range(3)],
-            axis=-1,
-        )
-        x = jnp.clip(bias + y, -0.1, 1.1)
-        uk = uvox // (ny * nx)
-        uj = (uvox // nx) % ny
-        ui = uvox % nx
-        vo = jnp.stack([ui, uj, uk], axis=-1).astype(jnp.float32) * res
-        verts = jnp.where(
-            (uvox != SENT)[:, None], origin[None, :] + vo + x * res, 0.0
-        )  # (W,3)
-
-        # --- pack: delta-encoded edge ids + flip bits (payload v2) ----
-        from ..ops.compact_field import _pack_u8
-
-        prev_e = jnp.concatenate([jnp.zeros((1,), eid.dtype), eid[:-1]])
-        delta = jnp.where(valid, eid - prev_e, 0)  # valid is a prefix mask
-        esc = valid & (delta >= 255)
-        n_exc = jnp.sum(esc.astype(jnp.int32))
-        deltas = _pack_u8(jnp.where(esc, 255, delta), valid, A)
-        pos = _mc.compact_indices(esc, E)
-        evalid = pos >= 0
-        psafe = jnp.maximum(pos, 0)
-        exc_pos = jnp.where(evalid, psafe, 0).astype(jnp.int32)
-        exc_delta = jnp.where(evalid, delta[psafe], 0).astype(jnp.int32)
-        fb = (eflip & valid).reshape(A // 32, 32).astype(jnp.uint32)
-        flip_words = jnp.sum(
-            fb << jnp.arange(32, dtype=jnp.uint32)[None, :],
-            axis=1,
-            dtype=jnp.uint32,
-        )
-
-        counts = jnp.stack(
-            [n_edges, n_vox, n_exc, jnp.asarray(2, n_edges.dtype)]
-        )
-        return jnp.concatenate(
-            [
-                jax.lax.bitcast_convert_type(counts, jnp.float32),
-                verts.reshape(-1),
-                jax.lax.bitcast_convert_type(deltas, jnp.float32),
-                jax.lax.bitcast_convert_type(flip_words, jnp.float32),
-                jax.lax.bitcast_convert_type(exc_pos, jnp.float32),
-                jax.lax.bitcast_convert_type(exc_delta, jnp.float32),
-            ]
+        return dc_mesh_emit(
+            tree, grid, origin, res, A, W, E, half, inv_step, lam
         )
 
     if parametric:
@@ -605,6 +652,66 @@ def unpack_dc_mesh_payload(packed, a_size, w_size, e_size):
         flip_words.view(np.uint8), bitorder="little"
     )[:ncap].astype(bool)
     return verts, eids, flips, (n_edges, n_vox, n_exc)
+
+
+def finish_dc_mesh(verts, eax, lin, flips, nx, ny, nz, n_vox):
+    """Host-side quad emission shared by the single-device and sharded
+    DC paths: re-derive quad corner slots from the edge ids (payload v2)
+    and gather final triangles. Returns (tris (T,3,3) f32, block sizes).
+
+    The ascending unique of all in-range corner + own voxel ids is
+    EXACTLY the kernel's vertex-slot key array (its uvox is the sorted
+    unique of the same in-range contribution set — for the sharded path,
+    the concatenation of per-slab uniques over disjoint ascending slab
+    ranges), so searchsorted reproduces the kernel's vid table
+    bit-for-bit. `eax`/`lin` are the edge axis and the edge's origin-
+    voxel linear id in the (nx, ny, nz) voxel space — GLOBAL ids for the
+    sharded path; `verts` holds the kernel vertex slots (>= n_vox rows,
+    kernel order)."""
+    ny_, nx_, nz_ = ny, nx, nz
+    ek = lin // (ny_ * nx_)
+    ej = (lin // nx_) % ny_
+    ei = lin % nx_
+    offs = np.array([_OFFS[a] for a in range(3)], np.int64)  # (3,4,3)
+    di = offs[eax, :, 0]  # (n,4)
+    dj = offs[eax, :, 1]
+    dk = offs[eax, :, 2]
+    ii2 = ei[:, None] + di
+    jj2 = ej[:, None] + dj
+    kk2 = ek[:, None] + dk
+    in_rng = (
+        (ii2 >= 0) & (ii2 < nx_)
+        & (jj2 >= 0) & (jj2 < ny_)
+        & (kk2 >= 0) & (kk2 < nz_)
+    )
+    clin = (kk2 * ny_ + jj2) * nx_ + ii2  # (n,4)
+    own = (ek * ny_ + ej) * nx_ + ei
+    uvox = np.unique(np.concatenate([clin[in_rng], own]))
+    if len(uvox) != n_vox:
+        raise RuntimeError(
+            f"DC payload voxel-count mismatch: derived {len(uvox)} "
+            f"!= kernel {n_vox}"
+        )
+    quad_ok = in_rng.all(axis=1)
+    vid = np.searchsorted(uvox, clin)
+    verts = np.asarray(verts[:n_vox])
+
+    tris = []
+    blocks = []
+    # per-axis two-block emission, identical order to the host path
+    for a in range(3):
+        m = quad_ok & (eax == a)
+        if not m.any():
+            continue
+        quads = verts[vid[m]]  # (E,4,3)
+        f = flips[m]
+        quads[f] = quads[f][:, ::-1, :]
+        tris.append(quads[:, [0, 1, 2], :])
+        tris.append(quads[:, [2, 3, 0], :])
+        blocks += [int(m.sum())] * 2
+    if not tris:
+        return np.empty((0, 3, 3), _f32), []
+    return np.concatenate(tris, axis=0).astype(_f32), blocks
 
 
 class DualContourRenderer:
@@ -721,59 +828,13 @@ class DualContourRenderer:
         self._evaluations += nk * nj * ni + 6 * n_edges
         if n_edges == 0:
             return np.empty((0, 3, 3), _f32)
-
-        # re-derive quad corner slots from the edge ids (payload v2):
-        # the ascending unique of all in-range corner + own voxel ids is
-        # EXACTLY the kernel's vertex-slot key array (its uvox is the
-        # sorted unique of the same in-range contribution set), so
-        # searchsorted reproduces the kernel's vid table bit-for-bit
-        ny_, nx_, nz_ = self.ny, self.nx, self.nz
         eax = eids // nvox
-        rem = eids % nvox
-        ek = rem // (ny_ * nx_)
-        ej = (rem // nx_) % ny_
-        ei = rem % nx_
-        offs = np.array([_OFFS[a] for a in range(3)], np.int64)  # (3,4,3)
-        di = offs[eax, :, 0]  # (n,4)
-        dj = offs[eax, :, 1]
-        dk = offs[eax, :, 2]
-        ii2 = ei[:, None] + di
-        jj2 = ej[:, None] + dj
-        kk2 = ek[:, None] + dk
-        in_rng = (
-            (ii2 >= 0) & (ii2 < nx_)
-            & (jj2 >= 0) & (jj2 < ny_)
-            & (kk2 >= 0) & (kk2 < nz_)
+        lin = eids % nvox
+        tris, blocks = finish_dc_mesh(
+            verts, eax, lin, flips, self.nx, self.ny, self.nz, n_vox
         )
-        lin = (kk2 * ny_ + jj2) * nx_ + ii2  # (n,4)
-        own = (ek * ny_ + ej) * nx_ + ei
-        uvox = np.unique(np.concatenate([lin[in_rng], own]))
-        if len(uvox) != n_vox:
-            raise RuntimeError(
-                f"DC payload voxel-count mismatch: derived {len(uvox)} "
-                f"!= kernel {n_vox}"
-            )
-        quad_ok = in_rng.all(axis=1)
-        vid = np.searchsorted(uvox, lin)
-        verts = np.asarray(verts[:n_vox])
-
-        tris = []
-        blocks = []
-        # per-axis two-block emission, identical order to the host path
-        for a in range(3):
-            m = quad_ok & (eax == a)
-            if not m.any():
-                continue
-            quads = verts[vid[m]]  # (E,4,3)
-            f = flips[m]
-            quads[f] = quads[f][:, ::-1, :]
-            tris.append(quads[:, [0, 1, 2], :])
-            tris.append(quads[:, [2, 3, 0], :])
-            blocks += [int(m.sum())] * 2
-        if not tris:
-            return np.empty((0, 3, 3), _f32)
         self._debug_blocks = blocks
-        return np.concatenate(tris, axis=0).astype(_f32)
+        return tris
 
     def _render_host(self) -> np.ndarray:
         res = float(self.res)
