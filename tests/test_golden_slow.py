@@ -101,3 +101,29 @@ def test_showerhead_sharded_golden():
     cv, ct = FlatRenderer(obj, res, device=jax.devices("cpu")[0]).render_compact()
     np.testing.assert_array_equal(st, ct)
     np.testing.assert_allclose(sv, cv, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_dc_bolt_sharded_golden():
+    """The DC flagship anchor through the 8-device sharded path: the
+    bolt example scene at resdiv 256 must produce EXACTLY the CPU
+    golden 99,844 triangles, bit-identical to the single-device
+    device-QEF render (test_dual_contour.py pins the single-device
+    golden; this pins the scale-out path at production scale — a
+    172x167x103 grid crosses every slab)."""
+    import jax
+
+    from gsdf_tpu.parallel import render_dc_sharded
+    from gsdf_tpu.render.dual_contour import DualContourRenderer
+    from tests.test_dual_contour import _bolt_scene
+
+    m3, res = _bolt_scene()
+    from gsdf_tpu.parallel.sharded import make_mesh
+
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    t_sharded = render_dc_sharded(m3, mesh, res)
+    assert len(t_sharded) == 99844
+    t_single = DualContourRenderer(
+        m3, res, device=jax.devices("cpu")[0]
+    ).render()
+    np.testing.assert_array_equal(t_sharded, t_single)
