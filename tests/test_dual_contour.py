@@ -320,3 +320,57 @@ def test_dc_edge_field_grid_size_guard():
     s = bld2.new_sphere(1.0)
     with pytest.raises(ValueError, match="edge ids"):
         _dc_edges_fn(s, (900, 900, 900), 1024, 0.01, jax.devices()[0])
+
+
+def test_dc_qef_analytic_corners():
+    """Analytic QEF gates (reference glrender/dual_contour_test.go:20-141,
+    TestQEFSolver + TestQEFSolverDiagonalPlanes), run through the REAL
+    pipeline instead of a hand-assembled solve:
+    - orthogonal planes: a box corner voxel's edge crossings are exactly
+      the constraints {x=cx, y=cy, z=cz}; the chiseled QEF must recover
+      the corner EXACTLY (measured 0.0 — linear interpolation and
+      central differences are exact on planar faces, and the 3x3 solve
+      is full-rank). Gate 1e-4 in units (res 0.1).
+    - diagonal planes: a rotated box; corner voxels whose edges see all
+      three faces recover the corner; the worst corner is bounded by
+      voxel discretization (a corner voxel may see only 2 faces), gate
+      0.6 voxels — still far sharper than MC could place it.
+    - chiseled mode must strictly beat default mode at corners (the
+      reference's reason the mode exists)."""
+    import math as _math
+
+    s = bld.new_box(1.0, 0.8, 0.6, 0.0)
+    corners = np.array(
+        [
+            [sx, sy, sz]
+            for sx in (-0.5, 0.5)
+            for sy in (-0.4, 0.4)
+            for sz in (-0.3, 0.3)
+        ]
+    )
+
+    def worst_miss(tree, cs, chiseled, res=0.1):
+        dc = DualContourRenderer(
+            tree, res, DualContourLeastSquares(chiseled=chiseled)
+        )
+        verts = dc.render().reshape(-1, 3)
+        return max(np.linalg.norm(verts - c, axis=1).min() for c in cs)
+
+    # orthogonal planes: exact recovery
+    assert worst_miss(s, corners, chiseled=True) < 1e-4
+    # chiseled strictly beats the default at sharp features
+    assert worst_miss(s, corners, chiseled=False) > 0.01
+
+    # diagonal planes: rotated box
+    ang, axis = 0.35, np.array([1.0, 0.5, 0.25])
+    rot = bld.rotate(s, ang, tuple(axis))
+    axis = axis / np.linalg.norm(axis)
+    K = np.array(
+        [
+            [0, -axis[2], axis[1]],
+            [axis[2], 0, -axis[0]],
+            [-axis[1], axis[0], 0],
+        ]
+    )
+    R = np.eye(3) + _math.sin(ang) * K + (1 - _math.cos(ang)) * (K @ K)
+    assert worst_miss(rot, corners @ R.T, chiseled=True, res=0.1) < 0.06
