@@ -114,6 +114,34 @@ def stl_roundtrip_timing():
     )
 
 
+def dual_contour_check():
+    """Device f32 QEF vs the float64 host oracle ON THE ACCELERATOR
+    (both paths share the accelerator's edge field, so counts must be
+    identical and vertices agree to f32 solve round-off — the acceptance
+    twin of tests/test_dual_contour.py::test_dc_device_matches_host_oracle)."""
+    from gsdf_tpu.render.dual_contour import DualContourRenderer
+
+    part = bld.difference(
+        bld.smooth_union(0.2, bld.new_sphere(0.8), bld.new_box(1.2, 1.2, 0.5, 0.05)),
+        bld.new_cylinder(0.3, 4.0, 0.0),
+    )
+    res = part.bounds().diagonal() / 150
+    acc = jax.devices()[0]
+    th = DualContourRenderer(part, res, host_qef=True, device=acc).render()
+    dc = DualContourRenderer(part, res, device=acc)
+    td = dc.render()
+    assert len(th) == len(td), f"DC count mismatch: oracle {len(th)} vs device {len(td)}"
+    dev = float(np.abs(th - td).max())
+    assert dev < 1e-3 * res, f"DC vertex deviation {dev} >= {1e-3 * res}"
+    t0 = time.monotonic()
+    dc.render()
+    t_warm = time.monotonic() - t0
+    print(
+        f"  dual contour: {len(td)} triangles, device-vs-f64-oracle max "
+        f"deviation {dev:.2e} (< {1e-3 * res:.2e}), warm render {t_warm*1e3:.0f}ms"
+    )
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--tol", type=float, default=5e-3)
@@ -124,4 +152,6 @@ if __name__ == "__main__":
     special_evaluators(args.tol)
     print("== STL generation ==")
     stl_roundtrip_timing()
+    print("== dual contouring ==")
+    dual_contour_check()
     print("acceptance harness passed")
