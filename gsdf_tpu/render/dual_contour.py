@@ -901,11 +901,6 @@ class DualContourRenderer:
         # dual_contour_vertexplacement.go:57-63). Everything below operates
         # on the ACTIVE sets only — no dense voxel-grid arrays.
         nz_, ny_, nx_ = self.nz, self.ny, self.nx
-        OFFS = {  # (di, dj, dk) quad-corner voxel offsets per edge axis
-            0: [(0, -1, -1), (0, 0, -1), (0, 0, 0), (0, -1, 0)],
-            1: [(-1, 0, -1), (-1, 0, 0), (0, 0, 0), (0, 0, -1)],
-            2: [(-1, -1, 0), (0, -1, 0), (0, 0, 0), (-1, 0, 0)],
-        }
         con_edge = []
         con_vox = []
         edge_corners = {}  # axis -> (edge subset ids, (E,4) voxel lin, ok)
@@ -914,7 +909,7 @@ class DualContourRenderer:
             k, j, i = ke[sel], je[sel], ie[sel]
             corners = []
             all_ok = np.ones(len(sel), bool)
-            for (di, dj, dk) in OFFS[a]:
+            for (di, dj, dk) in _OFFS[a]:
                 kk2, jj2, ii2 = k + dk, j + dj, i + di
                 ok = (
                     (kk2 >= 0) & (kk2 < nz_)
