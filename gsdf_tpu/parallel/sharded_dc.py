@@ -90,9 +90,14 @@ def sharded_dc_step(
     if cached is not None:
         return cached
 
-    def body(origin, res):
+    def body(origin, res, k_base):
         me = jax.lax.axis_index(AXIS)
-        k0 = me * c  # first owned voxel layer (int32)
+        # k_base (traced, replicated int32) offsets this dispatch within
+        # the global layer space: the slab-chunk composition
+        # (render_dc_sharded max_points_per_shard) re-dispatches ONE
+        # executable per z-chunk; k_base=0 is the whole-grid call.
+        # Integer layer indices stay exact in f32.
+        k0 = me * c + k_base  # first owned voxel layer (int32)
         iz = (
             jax.lax.broadcasted_iota(jnp.float32, (nk_l, nj, ni), 0)
             + k0.astype(jnp.float32)
@@ -115,25 +120,25 @@ def sharded_dc_step(
         @functools.partial(
             shard_map,
             mesh=mesh,
-            in_specs=(P(), P(), P()),
+            in_specs=(P(), P(), P(), P()),
             out_specs=P(AXIS, None),
             check_vma=False,  # see sharded.sharded_grid_eval
         )
-        def step(origin, res, flat):
+        def step(origin, res, k_base, flat):
             with _bind_params(spec, flat):
-                return body(origin, res)
+                return body(origin, res, k_base)
 
     else:
 
         @functools.partial(
             shard_map,
             mesh=mesh,
-            in_specs=(P(), P()),
+            in_specs=(P(), P(), P()),
             out_specs=P(AXIS, None),
             check_vma=False,  # see sharded.sharded_grid_eval
         )
-        def step(origin, res):
-            return body(origin, res)
+        def step(origin, res, k_base):
+            return body(origin, res, k_base)
 
     jitted = jax.jit(step)
     _step_cache[key] = jitted
@@ -144,6 +149,7 @@ def render_dc_sharded(
     tree: Shader3D, mesh, res: float,
     contourer: DualContourLeastSquares | None = None,
     parametric: bool = False, size_hint=None,
+    max_points_per_shard=None,
 ):
     """Multi-chip dual-contour render: returns the SAME (T,3,3) f32
     triangle array as DualContourRenderer(...).render() on one device
@@ -154,7 +160,18 @@ def render_dc_sharded(
     to a multiple of the mesh size (padded layers lie beyond the far
     field and stay inactive). parametric=True compiles per tree
     STRUCTURE with grow-only size hints — the zero-recompile edit
-    contract of render_sharded_compact, extended to DC."""
+    contract of render_sharded_compact, extended to DC.
+
+    max_points_per_shard composes sharding with slab dispatch (the
+    render_sharded_compact discipline, docs/MULTICHIP.md): when one
+    whole-grid dispatch would exceed a shard's memory gate, the global
+    voxel-layer space is partitioned into chunks of c_own*n_dev layers
+    dispatched through ONE executable with a traced k_base operand.
+    Chunk slabs are just more slabs: per-(chunk, shard) payloads
+    concatenate into exactly the whole-grid payload, so the triangles
+    stay bit-identical. The per-SHARD int32 edge-id ceiling
+    (3*(c_own+1)*plane < 2^31) is what chunking relaxes; global ids are
+    int64 on host."""
     from ..ops.mc_emit import bucket as _bucket
 
     contourer = contourer or DualContourLeastSquares()
@@ -167,13 +184,29 @@ def render_dc_sharded(
     nyv = int(math.ceil(_f32(sz[1]) / res32)) + 1
     nzv = int(math.ceil(_f32(sz[2]) / res32)) + 1
     n_dev = mesh.devices.size
-    nz_p = nzv + (-nzv) % n_dev
-    c = nz_p // n_dev
     plane = nyv * nxv
+    plane_corners = (nyv + 1) * (nxv + 1)
+
+    # slab-chunk composition: chunks of C = c*n_dev voxel layers, one
+    # shared executable re-dispatched with k_base = chunk*C
+    if max_points_per_shard is not None:
+        c = max(1, int(max_points_per_shard) // plane_corners - 2)
+        C = c * n_dev
+        n_chunks = -(-nzv // C)
+    else:
+        nz_p0 = nzv + (-nzv) % n_dev
+        c = nz_p0 // n_dev
+        C = nz_p0
+        n_chunks = 1
+    nz_p = n_chunks * C  # padded; extra layers lie beyond the far field
     nvox_ext = (c + 1) * plane  # per-shard extended edge-id space
-    if 3 * nz_p * plane >= 1 << 31:
-        # same int32 edge-id ceiling as the single-device path
-        raise ValueError("grid too large for int32 edge ids (3*nvox >= 2^31)")
+    if 3 * nvox_ext >= 1 << 31:
+        # the kernel's edge ids are shard-local int32; shrink the chunk
+        # (max_points_per_shard) to fit — host ids are int64 throughout
+        raise ValueError(
+            "shard slab too large for int32 edge ids "
+            "(3*(c+1)*plane >= 2^31); pass max_points_per_shard"
+        )
     shape_local = (c + 2, nyv + 1, nxv + 1)
 
     origin = _replicated(mesh, bb.min)
@@ -182,13 +215,13 @@ def render_dc_sharded(
         from ..eval.parametric import pack_params, structural_hash
 
         hint_key = (
-            "dc-hint-param", structural_hash(tree), shape_local, mesh,
-            _f32(contourer.norm_step),
+            "dc-hint-param", structural_hash(tree), shape_local, n_chunks,
+            mesh, _f32(contourer.norm_step),
         )
         params = _replicated(mesh, pack_params(tree))
     else:
         hint_key = (
-            "dc-hint", tree.tree_hash(), shape_local, mesh,
+            "dc-hint", tree.tree_hash(), shape_local, n_chunks, mesh,
             _f32(contourer.norm_step),
         )
         params = None
@@ -201,44 +234,52 @@ def render_dc_sharded(
         w_size = a_size
         e_size = _bucket(max(4096, a_size // 8), granule=4096)
 
-    while True:
-        step = sharded_dc_step(
-            tree, mesh, shape_local, c, a_size, w_size, e_size,
-            contourer.norm_step, contourer.sqrt_lambda,
-            parametric=parametric,
-        )
-        args = (origin, res_dev, params) if parametric else (origin, res_dev)
-        packed = np.ascontiguousarray(np.asarray(step(*args)))
-        counts = np.ascontiguousarray(packed[:, :3]).view(np.int32)
-        worst_a = int(counts[:, 0].max(initial=0))
-        worst_w = int(counts[:, 1].max(initial=0))
-        worst_e = int(counts[:, 2].max(initial=0))
-        if worst_a <= a_size and worst_w <= w_size and worst_e <= e_size:
-            break
-        if worst_a > a_size:
-            a_size = _bucket(worst_a, granule=16384)
-        if worst_w > w_size:
-            w_size = _bucket(worst_w, granule=16384)
-        if worst_e > e_size:
-            e_size = _bucket(worst_e, granule=4096)
+    verts_parts, eax_parts, lin_parts, flip_parts = [], [], [], []
+    n_vox_total = 0
+    for chunk in range(n_chunks):
+        kb = _replicated(mesh, np.int32(chunk * C))
+        # grow-only sizes shared across chunks: every chunk reuses one
+        # executable once sizes stabilize (slabbed-path discipline)
+        while True:
+            step = sharded_dc_step(
+                tree, mesh, shape_local, c, a_size, w_size, e_size,
+                contourer.norm_step, contourer.sqrt_lambda,
+                parametric=parametric,
+            )
+            args = (
+                (origin, res_dev, kb, params)
+                if parametric
+                else (origin, res_dev, kb)
+            )
+            packed = np.ascontiguousarray(np.asarray(step(*args)))
+            counts = np.ascontiguousarray(packed[:, :3]).view(np.int32)
+            worst_a = int(counts[:, 0].max(initial=0))
+            worst_w = int(counts[:, 1].max(initial=0))
+            worst_e = int(counts[:, 2].max(initial=0))
+            if worst_a <= a_size and worst_w <= w_size and worst_e <= e_size:
+                break
+            if worst_a > a_size:
+                a_size = _bucket(worst_a, granule=16384)
+            if worst_w > w_size:
+                w_size = _bucket(worst_w, granule=16384)
+            if worst_e > e_size:
+                e_size = _bucket(worst_e, granule=4096)
+        for d in range(n_dev):
+            verts, eids, flips, (n_e, n_v, _n_x) = unpack_dc_mesh_payload(
+                packed[d], a_size, w_size, e_size
+            )
+            ax = eids // nvox_ext
+            rem = eids % nvox_ext
+            own = (rem // plane) < c  # drop halo edges (next slab owns them)
+            eax_parts.append(ax[own])
+            # local -> global lin (chunk-major slab order IS global z-order)
+            lin_parts.append(rem[own] + (chunk * C + d * c) * plane)
+            flip_parts.append(flips[own])
+            verts_parts.append(verts[:n_v])
+            n_vox_total += n_v
     # grow-only hints: successive (parametric) renders keep one
     # executable per structure, the sharded-MC discipline
     _step_cache[hint_key] = (a_size, w_size, e_size)
-
-    verts_parts, eax_parts, lin_parts, flip_parts = [], [], [], []
-    n_vox_total = 0
-    for d in range(n_dev):
-        verts, eids, flips, (n_e, n_v, _n_x) = unpack_dc_mesh_payload(
-            packed[d], a_size, w_size, e_size
-        )
-        ax = eids // nvox_ext
-        rem = eids % nvox_ext
-        own = (rem // plane) < c  # drop halo edges (next shard owns them)
-        eax_parts.append(ax[own])
-        lin_parts.append(rem[own] + d * c * plane)  # local -> global lin
-        flip_parts.append(flips[own])
-        verts_parts.append(verts[:n_v])
-        n_vox_total += n_v
     eax = np.concatenate(eax_parts)
     if len(eax) == 0:
         return np.empty((0, 3, 3), _f32)

@@ -135,10 +135,31 @@ def test_dc_sharded_fuzz_seeded_trees(seed):
     np.testing.assert_array_equal(t_sharded, t_single)
 
 
+def test_dc_sharded_slab_chunk_composition():
+    """Sharding composed with slab dispatch (max_points_per_shard): the
+    chunked render is BIT-IDENTICAL to the whole-grid sharded render
+    (chunk slabs concatenate into exactly the whole-grid payload) and
+    re-dispatches one shared executable per z-chunk."""
+    devices = jax.devices("cpu")[:4]
+    mesh = make_mesh(devices)
+    part = _part()
+    res = 0.06
+    t_whole = render_dc_sharded(part, mesh, res)
+    dc = DualContourRenderer(part, res, device=devices[0])
+    plane_corners = (dc.ny + 2) * (dc.nx + 2)
+    # force >= 3 chunks: each shard slab gets ~3 voxel layers
+    t_chunked = render_dc_sharded(
+        part, mesh, res, max_points_per_shard=5 * plane_corners
+    )
+    np.testing.assert_array_equal(t_chunked, t_whole)
+
+
 def test_dc_sharded_grid_size_guard():
-    """The int32 edge-id ceiling raises cleanly, as on one device."""
+    """The per-SHARD int32 edge-id ceiling raises cleanly with the
+    max_points_per_shard escape hatch named; a small chunk budget keeps
+    the same grid renderable (the guard is per dispatch, not global)."""
     devices = jax.devices("cpu")[:2]
     mesh = make_mesh(devices)
     s = bld.new_sphere(1.0)
-    with pytest.raises(ValueError, match="edge ids"):
-        render_dc_sharded(s, mesh, 1.0 / 500)
+    with pytest.raises(ValueError, match="max_points_per_shard"):
+        render_dc_sharded(s, mesh, 1.0 / 800)
