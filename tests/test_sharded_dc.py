@@ -154,6 +154,46 @@ def test_dc_sharded_slab_chunk_composition():
     np.testing.assert_array_equal(t_chunked, t_whole)
 
 
+def test_dc_sharded_chunked_parametric_edit():
+    """Chunked composition under the parametric (zero-recompile) edit
+    contract: every chunk reuses ONE per-structure executable across a
+    rebind edit, and the result matches the single-device parametric
+    render bit-for-bit."""
+    from gsdf_tpu.core.wrappers import with_bounds
+    from gsdf_tpu.geometry import box3
+    from gsdf_tpu.parallel import sharded_dc as sdc
+
+    devices = jax.devices("cpu")[:4]
+    mesh = make_mesh(devices)
+    bld2 = Builder()
+    boss = bld2.new_cylinder(0.45, 1.2, 0.05)
+    body = bld2.smooth_union(0.1, bld2.new_box(1.6, 1.0, 0.5, 0.05), boss)
+    pinned = with_bounds(body, box3(-1.2, -0.8, -0.9, 1.2, 0.8, 0.9))
+    res = 0.06
+    dc = DualContourRenderer(pinned, res, device=devices[0])
+    mp = 5 * (dc.ny + 2) * (dc.nx + 2)
+    render_dc_sharded(pinned, mesh, res, parametric=True, max_points_per_shard=mp)
+    n_exec = sum(
+        1 for k in sdc._step_cache if isinstance(k, tuple) and k[0] == "dc-param"
+    )
+    pinned.rebind({boss: {"r": 0.3}})
+    t1 = render_dc_sharded(
+        pinned, mesh, res, parametric=True, max_points_per_shard=mp
+    )
+    assert (
+        sum(
+            1
+            for k in sdc._step_cache
+            if isinstance(k, tuple) and k[0] == "dc-param"
+        )
+        == n_exec
+    ), "chunked parametric sharded DC edit compiled a new executable"
+    t_ref = DualContourRenderer(pinned, res, device=devices[0]).render(
+        parametric=True
+    )
+    np.testing.assert_array_equal(t1, t_ref)
+
+
 def test_dc_sharded_grid_size_guard():
     """The per-SHARD int32 edge-id ceiling raises cleanly with the
     max_points_per_shard escape hatch named; a small chunk budget keeps
