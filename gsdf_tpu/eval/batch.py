@@ -9,6 +9,7 @@ strings.
 """
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Callable
 
 import jax
@@ -34,7 +35,12 @@ class Batcher:
         self._union = jax.jit(jnp.minimum)
         self._diff = jax.jit(lambda a, b: jnp.maximum(a, -b))
         self._intersect = jax.jit(jnp.maximum)
-        self._custom: dict = {}
+        # keyed by the op OBJECT (never id(op) — see
+        # execute_raw_binary_operation); bounded LRU because the jitted
+        # wrapper strongly references the op, so a weak dict would never
+        # collect (value -> key chain) and an unbounded one leaks a
+        # callable + compiled fn per fresh lambda
+        self._custom: "OrderedDict" = OrderedDict()
 
     def _run(self, fn, dst, a, b):
         out = np.asarray(fn(jnp.asarray(a), jnp.asarray(b)))
@@ -60,12 +66,18 @@ class Batcher:
         (reference ExecuteRawBinaryOperation, batchevaluator.go:13; the
         GLSL expression string becomes a jnp callable).
 
-        The cache is keyed by the callable object itself (which keeps it
-        alive), never by ``id(op)``: a garbage-collected op's id can be
-        reused by a new op, which would silently receive the wrong
-        compiled function."""
+        The cache is keyed by the callable OBJECT itself, never by
+        ``id(op)``: a garbage-collected op's id can be reused by a new
+        op, which would silently receive the wrong compiled function.
+        It is a bounded LRU (256 ops) so callers that construct a fresh
+        lambda per invocation don't leak a callable + compiled function
+        each call for the Batcher's lifetime."""
         fn = self._custom.get(op)
         if fn is None:
             fn = jax.jit(op)
             self._custom[op] = fn
+            while len(self._custom) > 256:
+                self._custom.popitem(last=False)
+        else:
+            self._custom.move_to_end(op)
         return self._run(fn, dst, a, b)

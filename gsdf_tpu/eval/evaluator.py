@@ -329,19 +329,25 @@ class CachedExactSDF3:
         else:
             hit = np.zeros(len(pos), bool)
         miss = ~hit
-        n_miss = int(miss.sum())
-        if n_miss:
-            d_new = np.asarray(self.sdf.evaluate(pos[miss]), _f32)
-            dist[miss] = d_new
+        n_new = 0
+        if miss.any():
             pm = packed[miss]
-            # one value per exact position, last writer wins (the
-            # reference stores in order, gleval.go:244-252)
-            rev_first = np.unique(pm[::-1], return_index=True)[1]
-            uk, uv = pm[::-1][rev_first], d_new[::-1][rev_first]
+            # reference semantics are sequential (gleval.go:244-252): the
+            # FIRST occurrence of a new position evaluates and stores, and
+            # every later duplicate IN THE SAME BATCH hits the map — so
+            # evaluate once per unique new key and count the rest as hits
+            # (shared voxel corners within one dispatch are exactly the
+            # re-evaluation pattern this tool measures)
+            uk, first_idx, inv = np.unique(
+                pm, return_index=True, return_inverse=True
+            )
+            d_new = np.asarray(self.sdf.evaluate(pos[miss][first_idx]), _f32)
+            dist[miss] = d_new[inv]
+            n_new = len(uk)
             keys = np.concatenate([self._keys, uk])
-            vals = np.concatenate([self._vals, uv])
+            vals = np.concatenate([self._vals, d_new])
             order = np.argsort(keys, kind="stable")
             self._keys, self._vals = keys[order], vals[order]
         self._evals += len(pos)
-        self._hits += len(pos) - n_miss
+        self._hits += len(pos) - n_new
         return dist

@@ -140,30 +140,13 @@ def compact_indices(mask_flat, size, method: str = "sort"):
         return jnp.where(slots <= n_active, found, -1)
     if method == "sort" and n > (1 << 21) and 16 * size < n:  # "sort-flat" skips
         # hierarchical: sorting the whole grid dominates the dense render
-        # at scale (52M mask: 193 ms). Compact active BLOCKS of 8 first
-        # (sort of n/8 keys), expand survivors to candidate slots, compact
-        # those (sort of 8*size keys) — ~4x less sort work, identical
-        # order-preserving result. Measured: see docs/PERFORMANCE.md.
-        B = 8
-        npad = -(-n // B) * B
-        mpad = (
-            jnp.pad(mask_flat, (0, npad - n)) if npad != n else mask_flat
-        )
-        blk_any = mpad.reshape(npad // B, B).any(axis=1)
-        blk_idx = compact_indices(blk_any, size, method="sort")
-        valid_blk = blk_idx >= 0
-        cand = (
-            jnp.maximum(blk_idx, 0)[:, None] * B
-            + jnp.arange(B, dtype=jnp.int32)[None, :]
-        ).reshape(-1)
-        cand_active = mpad[cand] & jnp.repeat(valid_blk, B)
-        pos = compact_indices(cand_active, size, method="sort")
-        out = jnp.where(pos >= 0, cand[jnp.maximum(pos, 0)], -1)
-        # true count (blocks may hold more actives than `size` slots kept)
-        n_active = jnp.sum(mask_flat.astype(jnp.int32))
-        return jnp.where(
-            jnp.arange(size, dtype=jnp.int32) < n_active, out, -1
-        )
+        # at scale (52M mask: 193 ms). Delegate to the ONE two-level-sort
+        # implementation (compact_indices_blocks) with block_slots = size:
+        # block overflow is then subsumed by the n_active overflow signal
+        # (n_blk <= n_active, so a dropped block implies n_active > size
+        # and the caller's grow-and-retry already fires). Measured: see
+        # docs/PERFORMANCE.md.
+        return compact_indices_blocks(mask_flat, size, size)[0]
     if method in ("sort", "sort-flat") and n < (1 << 30):
         idx = jnp.arange(n, dtype=jnp.int32)
         keys = jnp.where(mask_flat, idx, idx | (1 << 30))

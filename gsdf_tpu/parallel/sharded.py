@@ -32,15 +32,17 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), (AXIS,))
 
 
-def _replicated(mesh: Mesh, value):
+def _replicated(mesh: Mesh, value, dtype=_f32):
     """Commit a host value to the mesh's own devices, replicated.
 
     Every operand of a sharded step must be created ON the mesh —
     `jnp.asarray` would place it on the process default device (the real
     TPU when one is attached), which both wastes a transfer and breaks
-    hermetic CPU-mesh runs (the driver's dryrun_multichip)."""
+    hermetic CPU-mesh runs (the driver's dryrun_multichip). Integer
+    operands (the slab-chunk k_base) must pass dtype=np.int32: the
+    default f32 cast would silently round layer offsets >= 2^24."""
     return jax.device_put(
-        np.asarray(value, _f32), NamedSharding(mesh, P())
+        np.asarray(value, dtype), NamedSharding(mesh, P())
     )
 
 
@@ -184,13 +186,17 @@ def sharded_compact_step(
 
     def body(origin, res, k_base):
         me = jax.lax.axis_index(AXIS)
-        # k_base (traced, replicated) offsets this dispatch within the
-        # global layer space: the slab-chunk composition re-dispatches one
-        # executable per z-chunk (render_sharded_compact max_points_per_
-        # shard); k_base=0 is the classic whole-grid call. Integer layer
-        # indices stay exact in f32.
+        # k_base (traced, replicated int32) offsets this dispatch within
+        # the global layer space: the slab-chunk composition re-dispatches
+        # one executable per z-chunk (render_sharded_compact max_points_
+        # per_shard); k_base=0 is the classic whole-grid call. The global
+        # layer index is computed in int32 and cast ONCE, so positions
+        # bit-match the whole-grid render's global f32 iota.
         k0 = me * nk_local + k_base
-        iz = jax.lax.broadcasted_iota(jnp.float32, (nk_local + 1, nj, ni), 0) + k0
+        iz = (
+            jax.lax.broadcasted_iota(jnp.int32, (nk_local + 1, nj, ni), 0)
+            + k0
+        ).astype(jnp.float32)
         iy = jax.lax.broadcasted_iota(jnp.float32, (nk_local + 1, nj, ni), 1)
         ix = jax.lax.broadcasted_iota(jnp.float32, (nk_local + 1, nj, ni), 2)
         p = jnp.stack(
@@ -275,7 +281,11 @@ def render_sharded_compact(
     # one shared executable re-dispatched with k_base = chunk*C
     plane = (ny + 1) * (nx + 1)
     if max_points_per_shard is not None:
-        c_local = max(1, int(max_points_per_shard) // plane - 1)
+        # clamp to the real grid: an ample budget must not make shards
+        # evaluate (or the MAX_CUBES guard count) far-field padding
+        # beyond the whole-grid slab split
+        c_local = max(1, min(int(max_points_per_shard) // plane - 1,
+                             nk // n_dev))
         C = c_local * n_dev
         n_chunks = -(-nk // C)
     else:
@@ -283,6 +293,11 @@ def render_sharded_compact(
         C = nk
         n_chunks = 1
     nk_total = n_chunks * C  # padded; extra layers cull in the far field
+    if nk_total >= 1 << 24:
+        # layer indices are cast to f32 for position synthesis; past
+        # 2^24 the cast rounds and slabs silently desync from the
+        # whole-grid render
+        raise ValueError("grid too tall for exact f32 layer indices")
     shape = (C, ny + 1, nx + 1)
     nz_padded = nk_total - 1  # decode space includes padded slabs
     from ..ops.compact_field import MAX_CUBES
@@ -322,7 +337,7 @@ def render_sharded_compact(
 
     ids_parts, case_parts, t_parts = [], [], []
     for chunk in range(n_chunks):
-        kb = _replicated(mesh, np.float32(chunk * C))
+        kb = _replicated(mesh, np.int32(chunk * C), dtype=np.int32)
         # grow-only sizes shared across chunks: every chunk reuses one
         # executable once sizes stabilize (slabbed-path discipline)
         while True:

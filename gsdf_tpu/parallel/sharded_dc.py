@@ -190,7 +190,10 @@ def render_dc_sharded(
     # slab-chunk composition: chunks of C = c*n_dev voxel layers, one
     # shared executable re-dispatched with k_base = chunk*C
     if max_points_per_shard is not None:
-        c = max(1, int(max_points_per_shard) // plane_corners - 2)
+        # clamp to the real grid: an ample budget must not make shards
+        # evaluate far-field slabs beyond the whole-grid split
+        c = max(1, min(int(max_points_per_shard) // plane_corners - 2,
+                       -(-nzv // n_dev)))
         C = c * n_dev
         n_chunks = -(-nzv // C)
     else:
@@ -199,6 +202,11 @@ def render_dc_sharded(
         C = nz_p0
         n_chunks = 1
     nz_p = n_chunks * C  # padded; extra layers lie beyond the far field
+    if nz_p >= 1 << 24:
+        # layer indices are cast to f32 for position synthesis; past
+        # 2^24 the cast rounds and slabs silently desync from the
+        # whole-grid render
+        raise ValueError("grid too tall for exact f32 layer indices")
     nvox_ext = (c + 1) * plane  # per-shard extended edge-id space
     if 3 * nvox_ext >= 1 << 31:
         # the kernel's edge ids are shard-local int32; shrink the chunk
@@ -237,7 +245,7 @@ def render_dc_sharded(
     verts_parts, eax_parts, lin_parts, flip_parts = [], [], [], []
     n_vox_total = 0
     for chunk in range(n_chunks):
-        kb = _replicated(mesh, np.int32(chunk * C))
+        kb = _replicated(mesh, np.int32(chunk * C), dtype=np.int32)
         # grow-only sizes shared across chunks: every chunk reuses one
         # executable once sizes stabilize (slabbed-path discipline)
         while True:

@@ -45,9 +45,20 @@ def test_batcher_custom_cache_keys_by_callable():
     np.testing.assert_array_equal(
         b.execute_raw_binary_operation(op1, None, a, c), a - c
     )
-    # the cache keeps every op alive: keys are the callables themselves
+    # keys are the callables themselves
     assert all(callable(k) for k in b._custom)
     assert op1 in b._custom
+    # the cache is a bounded LRU: fresh-lambda-per-call churn must not
+    # retain a callable + compiled fn per call forever
+    for k in range(300):
+        b.execute_raw_binary_operation(
+            eval(f"lambda x, y: x - y * {k}"), None, a, c
+        )
+    assert len(b._custom) <= 256
+    # an evicted op still computes correctly (recompiles transparently)
+    np.testing.assert_array_equal(
+        b.execute_raw_binary_operation(op1, None, a, c), a - c
+    )
 
 
 def test_special_evaluators_match_tree():
@@ -102,10 +113,21 @@ def test_cached_exact_sdf3():
     nudged[:, 0] = np.nextafter(nudged[:, 0], np.float32(np.inf))
     cached.evaluate(nudged)
     assert cached.cache_hits() == 256
-    # duplicate rows within one batch: last-writer-wins stores one entry,
-    # lookups still return the evaluated value
-    dup = np.repeat(pts[:4], 3, axis=0)
+    # duplicate rows within one batch: reference semantics are SEQUENTIAL
+    # (gleval.go:244-252) — the first occurrence of a new position
+    # evaluates and stores, later duplicates in the same batch HIT the
+    # map (shared voxel corners within one dispatch are exactly the
+    # re-evaluation pattern this tool measures)
+    dup = np.repeat(pts[:4], 3, axis=0)  # already cached: all 12 hit
+    hits0 = cached.cache_hits()
     np.testing.assert_array_equal(cached.evaluate(dup), np.repeat(d1[:4], 3))
+    assert cached.cache_hits() == hits0 + 12
+    fresh = np.random.default_rng(3).uniform(2, 3, (4, 3)).astype(np.float32)
+    dupf = np.repeat(fresh, 3, axis=0)  # 12 rows, 4 new positions
+    hits0 = cached.cache_hits()
+    df = cached.evaluate(dupf)
+    np.testing.assert_array_equal(df, np.repeat(df[::3], 3))
+    assert cached.cache_hits() == hits0 + 8  # 12 - 4 unique misses
     np.testing.assert_array_equal(cached.bounds().min, sdf.bounds().min)
     np.testing.assert_array_equal(cached.bounds().max, sdf.bounds().max)
 

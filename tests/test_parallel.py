@@ -165,6 +165,27 @@ def test_render_sharded_compact_slabbed_composition():
     assert len(_step_cache) <= n_exec_before + 2  # step + possible retry
 
 
+def test_render_sharded_compact_ample_budget_clamped():
+    """An AMPLE max_points_per_shard must behave exactly like the
+    whole-grid split: the chunk height is clamped to the real grid, so a
+    generous memory budget never makes shards evaluate — or the
+    MAX_CUBES guard count — far-field padding past the part (regression:
+    unclamped, a 10^9-point budget inflated C to ~10^9/plane layers)."""
+    from gsdf_tpu.parallel import render_sharded_compact
+
+    devices = jax.devices("cpu")[:4]
+    mesh = make_mesh(devices)
+    part = _part()
+    res = 0.07
+    fr = FlatRenderer(part, res, device=devices[0])
+    cv, ct = fr.render_compact()
+    sv, st = render_sharded_compact(
+        part, mesh, res, max_points_per_shard=10**9
+    )
+    np.testing.assert_array_equal(st, ct)
+    np.testing.assert_allclose(sv, cv, atol=1e-6)
+
+
 def test_sharded_compact_grid_size_guard():
     """Global cube ids are int32-bounded exactly like the single-device
     builder: oversized grids raise instead of wrapping id arithmetic."""

@@ -66,6 +66,22 @@ def test_dc_sharded_nondivisible_padding():
     np.testing.assert_array_equal(t_sharded, t_single)
 
 
+def test_dc_sharded_ample_budget_clamped():
+    """An AMPLE max_points_per_shard must behave exactly like the
+    whole-grid split: the chunk height is clamped to the real grid
+    (regression: unclamped, a 10^9-point budget made every shard
+    evaluate ~10^9/plane far-field corner planes)."""
+    devices = jax.devices("cpu")[:4]
+    mesh = make_mesh(devices)
+    part = _part()
+    res = 0.07
+    t_single = DualContourRenderer(part, res, device=devices[0]).render()
+    t_sharded = render_dc_sharded(
+        part, mesh, res, max_points_per_shard=10**9
+    )
+    np.testing.assert_array_equal(t_sharded, t_single)
+
+
 def test_dc_sharded_grow_and_retry():
     """Undersized payload hints must grow-and-retry to the identical
     result, never truncate (header counts are the in-band signal)."""
