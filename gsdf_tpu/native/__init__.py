@@ -50,6 +50,18 @@ def get_lib():
     if not os.path.exists(_SO_PATH) or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC):
         if not _build():
             return None
+    for attempt in range(2):
+        if _register():
+            break
+        # a stale prebuilt .so can miss a newer entry point even with a
+        # fresh mtime (checkout order): force one rebuild, then give up
+        if attempt or not _build():
+            break
+    return _lib
+
+
+def _register() -> bool:
+    global _lib
     try:
         lib = ctypes.CDLL(_SO_PATH)
         lib.gsdf_stl_encode.argtypes = [
@@ -96,10 +108,27 @@ def get_lib():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_ubyte),
         ]
+        lib.gsdf_dc_finish.argtypes = [
+            ctypes.POINTER(ctypes.c_float),  # verts (kernel slots)
+            ctypes.POINTER(ctypes.c_int64),  # eax
+            ctypes.POINTER(ctypes.c_int64),  # lin
+            ctypes.POINTER(ctypes.c_uint8),  # flips
+            ctypes.c_int64,  # n_edges
+            ctypes.c_int32,  # nx
+            ctypes.c_int32,  # ny
+            ctypes.c_int32,  # nz
+            ctypes.c_int64,  # n_vox
+            ctypes.POINTER(ctypes.c_int32),  # offs (3,4,3)
+            ctypes.POINTER(ctypes.c_float),  # tris_out (2n cap)
+            ctypes.POINTER(ctypes.c_int64),  # blocks_out (6,)
+            ctypes.c_int32,  # force_sort (tests' huge-grid lever)
+        ]
+        lib.gsdf_dc_finish.restype = ctypes.c_int64
         _lib = lib
-    except OSError:
+        return True
+    except (OSError, AttributeError):
         _lib = None
-    return _lib
+        return False
 
 
 def stl_encode(tris: np.ndarray) -> bytes:
@@ -355,3 +384,49 @@ def stl_encode_indexed(verts: np.ndarray, tri_idx: np.ndarray) -> bytes:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
     )
     return out.tobytes()
+
+
+def dc_finish(verts, eax, lin, flips, nx, ny, nz, n_vox, offs,
+              force_sort=False):
+    """Native dual-contour quad emission (gsdf_dc_finish): gathers final
+    triangles from the v2 DC mesh payload's per-edge arrays. Returns
+    (tris (T,3,3) f32, blocks) or None when the native library is
+    unavailable — the caller (render/dual_contour.finish_dc_mesh) then
+    runs its numpy implementation, which is the bit-exact oracle this
+    path is pinned against in tests. `offs` is the (3,4,3) quad-corner
+    offset table from the single Python source (dual_contour._OFFS).
+    force_sort=True selects the sorted-table rank backend (used for
+    voxel-id spaces past the 2^28-bit bitmap; tests cover it here)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    verts = np.ascontiguousarray(verts, _f32)
+    eax = np.ascontiguousarray(eax, np.int64)
+    lin = np.ascontiguousarray(lin, np.int64)
+    flips = np.ascontiguousarray(flips, np.uint8)
+    offs = np.ascontiguousarray(offs, np.int32)
+    n = len(eax)
+    tris = np.empty((2 * n, 3, 3), _f32)
+    blocks6 = np.zeros(6, np.int64)
+    got = lib.gsdf_dc_finish(
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        eax.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lin.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        flips.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n,
+        nx,
+        ny,
+        nz,
+        n_vox,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        tris.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        blocks6.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        1 if force_sort else 0,
+    )
+    if got < 0:
+        raise RuntimeError(
+            f"DC payload voxel-count mismatch: derived {-int(got) - 1} "
+            f"!= kernel {n_vox}"
+        )
+    blocks = [int(b) for a in range(3) if blocks6[2 * a] for b in blocks6[2 * a : 2 * a + 2]]
+    return tris[:got].copy(), blocks

@@ -14,6 +14,7 @@
 //
 // Exposed with a plain C ABI for ctypes (no pybind11 dependency).
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -316,6 +317,207 @@ void gsdf_stl_encode_indexed(const float* verts, const int32_t* tri_idx,
         ts.emplace_back(body, lo, hi);
     }
     for (auto& th : ts) th.join();
+}
+
+// Dual-contour host finish: quad emission from the v2 mesh payload
+// (render/dual_contour.py::finish_dc_mesh is the numpy oracle this must
+// match BIT-FOR-BIT — same derived voxel table, same triangle order).
+//
+// Inputs are the unpacked per-edge arrays: eax (axis 0..2), lin (the
+// edge's origin-voxel linear id in the (nx,ny,nz) voxel space — GLOBAL
+// for the sharded path, hence int64), flips, and the kernel vertex
+// slots (kernel order, >= n_vox rows used). offs is the (3,4,3)
+// quad-corner offset table passed from the single Python source
+// (render/dual_contour._OFFS). Output layout: for each axis a with
+// m[a] fully-in-range quads, a block of m[a] [c0,c1,c2] triangles then
+// a block of m[a] [c2,c3,c0] triangles (flipped quads reverse corner
+// order), axes concatenated — exactly the numpy path's per-axis
+// two-block emission. blocks_out[6] gets {m0,m0,m1,m1,m2,m2}.
+// Returns the triangle count, or -(derived_voxel_count)-1 when the
+// derived unique voxel table disagrees with n_vox (corrupt payload —
+// caller raises, never truncates).
+// force_sort=1 selects the sorted-table backend regardless of grid
+// size (the tests' lever for covering the huge-grid path).
+int64_t gsdf_dc_finish(const float* verts, const int64_t* eax,
+                       const int64_t* lin, const uint8_t* flips, int64_t n,
+                       int32_t nx, int32_t ny, int32_t nz, int64_t n_vox,
+                       const int32_t* offs, float* tris_out,
+                       int64_t* blocks_out, int32_t force_sort) {
+    const int64_t plane = (int64_t)ny * nx;
+    const int nthreads = (int)std::min<int64_t>(
+        std::max(1u, std::thread::hardware_concurrency()),
+        std::max<int64_t>(1, n / 16384));
+
+    auto parallel_for = [&](auto body) {
+        if (nthreads <= 1) {
+            body(0, 0, n);
+            return;
+        }
+        std::vector<std::thread> ts;
+        const int64_t chunk = (n + nthreads - 1) / nthreads;
+        for (int t = 0; t < nthreads; t++) {
+            const int64_t lo = t * chunk;
+            const int64_t hi = std::min<int64_t>(lo + chunk, n);
+            if (lo >= hi) break;
+            ts.emplace_back(body, t, lo, hi);
+        }
+        for (auto& th : ts) th.join();
+    };
+    // Rank structure for vid lookup (vid = ascending-unique rank of a
+    // voxel id, == numpy searchsorted into the unique table). Two
+    // interchangeable backends with identical ranks:
+    // - bitmap + popcount prefix when the voxel space fits (<= 2^28
+    //   bits = 32 MB): O(1) rank per corner, no sort — the fast path.
+    // - sorted unique table + binary search for huge GLOBAL id spaces
+    //   (sharded renders chunked past int32 can exceed the bitmap).
+    const int64_t V = (int64_t)nz * plane;  // total voxel-id space
+    const bool use_bitmap = !force_sort && V <= ((int64_t)1 << 28);
+    std::vector<uint64_t> bits;
+    std::vector<int64_t> pref;   // per-word exclusive popcount prefix
+    std::vector<int64_t> uvox;   // sort-path unique table
+
+    // pass 1: per-edge corner ids; mark/collect in-range corner + own
+    // voxel ids, count fully-in-range quads per axis (slots indexed by
+    // thread id; trailing ones may stay empty)
+    std::vector<std::vector<int64_t>> cand(use_bitmap ? 0 : nthreads);
+    std::vector<std::array<int64_t, 3>> cnt(nthreads, {0, 0, 0});
+    if (use_bitmap) bits.assign((size_t)((V + 63) / 64), 0);
+    parallel_for([&](int t, int64_t lo, int64_t hi) {
+        std::vector<int64_t>* cv = use_bitmap ? nullptr : &cand[t];
+        if (cv) cv->reserve((hi - lo) * 5);
+        auto mark = [&](int64_t id) {
+            if (use_bitmap) {
+                // relaxed atomic OR: threads may mark the same word
+                __atomic_fetch_or(&bits[(size_t)(id >> 6)],
+                                  (uint64_t)1 << (id & 63),
+                                  __ATOMIC_RELAXED);
+            } else {
+                cv->push_back(id);
+            }
+        };
+        for (int64_t e = lo; e < hi; e++) {
+            const int64_t l = lin[e];
+            const int64_t ek = l / plane;
+            const int64_t ej = (l / nx) % ny;
+            const int64_t ei = l % nx;
+            const int32_t* o = offs + eax[e] * 12;
+            bool ok = true;
+            for (int c = 0; c < 4; c++) {
+                const int64_t ii = ei + o[c * 3 + 0];
+                const int64_t jj = ej + o[c * 3 + 1];
+                const int64_t kk = ek + o[c * 3 + 2];
+                if (ii >= 0 && ii < nx && jj >= 0 && jj < ny && kk >= 0 &&
+                    kk < nz) {
+                    mark((kk * ny + jj) * nx + ii);
+                } else {
+                    ok = false;
+                }
+            }
+            mark(l);  // own voxel
+            if (ok) cnt[t][eax[e]]++;
+        }
+    });
+
+    int64_t derived = 0;
+    if (use_bitmap) {
+        pref.resize(bits.size() + 1);
+        pref[0] = 0;
+        for (size_t w = 0; w < bits.size(); w++)
+            pref[w + 1] = pref[w] + __builtin_popcountll(bits[w]);
+        derived = pref[bits.size()];
+    } else {
+        // unique ascending voxel table == the kernel's vertex-slot keys
+        int64_t total = 0;
+        for (auto& cv : cand) total += (int64_t)cv.size();
+        uvox.reserve(total);
+        for (auto& cv : cand) {
+            uvox.insert(uvox.end(), cv.begin(), cv.end());
+            cv.clear();
+            cv.shrink_to_fit();
+        }
+        std::sort(uvox.begin(), uvox.end());
+        uvox.erase(std::unique(uvox.begin(), uvox.end()), uvox.end());
+        derived = (int64_t)uvox.size();
+    }
+    if (derived != n_vox) return -derived - 1;
+    auto rank_of = [&](int64_t id) -> int64_t {
+        if (use_bitmap) {
+            const size_t w = (size_t)(id >> 6);
+            const uint64_t below = bits[w] & (((uint64_t)1 << (id & 63)) - 1);
+            return pref[w] + __builtin_popcountll(below);
+        }
+        return std::lower_bound(uvox.begin(), uvox.end(), id) - uvox.begin();
+    };
+
+    // block layout: axis a's first-triangle block starts at
+    // 2*sum(m[<a]); per-chunk start ranks give each thread its exact
+    // write slots (deterministic edge order within each block)
+    int64_t m[3] = {0, 0, 0};
+    for (int t = 0; t < nthreads; t++)
+        for (int a = 0; a < 3; a++) m[a] += cnt[t][a];
+    int64_t base[3];
+    base[0] = 0;
+    base[1] = 2 * m[0];
+    base[2] = 2 * (m[0] + m[1]);
+    // per-chunk exclusive prefix of quad counts per axis
+    std::vector<std::array<int64_t, 3>> start(nthreads);
+    {
+        int64_t run[3] = {0, 0, 0};
+        for (int t = 0; t < nthreads; t++) {
+            for (int a = 0; a < 3; a++) {
+                start[t][a] = run[a];
+                run[a] += cnt[t][a];
+            }
+        }
+    }
+    for (int a = 0; a < 3; a++) {
+        blocks_out[2 * a] = m[a];
+        blocks_out[2 * a + 1] = m[a];
+    }
+
+    // pass 2: gather quad corners (rank_of == numpy searchsorted into
+    // the ascending-unique voxel table) and write both triangle blocks
+    parallel_for([&](int t, int64_t lo, int64_t hi) {
+        int64_t rank[3] = {start[t][0], start[t][1], start[t][2]};
+        for (int64_t e = lo; e < hi; e++) {
+            const int64_t l = lin[e];
+            const int64_t ek = l / plane;
+            const int64_t ej = (l / nx) % ny;
+            const int64_t ei = l % nx;
+            const int a = (int)eax[e];
+            const int32_t* o = offs + a * 12;
+            int64_t vid[4];
+            bool ok = true;
+            for (int c = 0; c < 4; c++) {
+                const int64_t ii = ei + o[c * 3 + 0];
+                const int64_t jj = ej + o[c * 3 + 1];
+                const int64_t kk = ek + o[c * 3 + 2];
+                if (!(ii >= 0 && ii < nx && jj >= 0 && jj < ny && kk >= 0 &&
+                      kk < nz)) {
+                    ok = false;
+                    break;
+                }
+                vid[c] = rank_of((kk * ny + jj) * nx + ii);
+            }
+            if (!ok) continue;
+            const float* q[4];
+            if (flips[e]) {
+                for (int c = 0; c < 4; c++) q[c] = verts + vid[3 - c] * 3;
+            } else {
+                for (int c = 0; c < 4; c++) q[c] = verts + vid[c] * 3;
+            }
+            const int64_t r = rank[a]++;
+            float* t1 = tris_out + (base[a] + r) * 9;
+            float* t2 = tris_out + (base[a] + m[a] + r) * 9;
+            std::memcpy(t1 + 0, q[0], 12);
+            std::memcpy(t1 + 3, q[1], 12);
+            std::memcpy(t1 + 6, q[2], 12);
+            std::memcpy(t2 + 0, q[2], 12);
+            std::memcpy(t2 + 3, q[3], 12);
+            std::memcpy(t2 + 6, q[0], 12);
+        }
+    });
+    return 2 * (m[0] + m[1] + m[2]);
 }
 
 }  // extern "C"

@@ -656,8 +656,24 @@ def unpack_dc_mesh_payload(packed, a_size, w_size, e_size):
 
 def finish_dc_mesh(verts, eax, lin, flips, nx, ny, nz, n_vox):
     """Host-side quad emission shared by the single-device and sharded
-    DC paths: re-derive quad corner slots from the edge ids (payload v2)
-    and gather final triangles. Returns (tris (T,3,3) f32, block sizes).
+    DC paths: native C++ (native.dc_finish / gsdf_dc_finish, threaded —
+    the DC counterpart of the MC path's gsdf_mc_decode) with
+    finish_dc_mesh_numpy as the bit-exact fallback and oracle (pinned in
+    test_dual_contour.py). Returns (tris (T,3,3) f32, block sizes)."""
+    from ..native import dc_finish
+
+    offs = np.array([_OFFS[a] for a in range(3)], np.int32)  # (3,4,3)
+    out = dc_finish(verts, eax, lin, flips, nx, ny, nz, n_vox, offs)
+    if out is not None:
+        return out
+    return finish_dc_mesh_numpy(verts, eax, lin, flips, nx, ny, nz, n_vox)
+
+
+def finish_dc_mesh_numpy(verts, eax, lin, flips, nx, ny, nz, n_vox):
+    """Numpy quad emission — the oracle the native gsdf_dc_finish path
+    must match bit-for-bit: re-derive quad corner slots from the edge
+    ids (payload v2) and gather final triangles. Returns
+    (tris (T,3,3) f32, block sizes).
 
     The ascending unique of all in-range corner + own voxel ids is
     EXACTLY the kernel's vertex-slot key array (its uvox is the sorted

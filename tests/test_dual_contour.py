@@ -383,3 +383,58 @@ def test_dc_qef_analytic_corners():
     R = np.eye(3) + _math.sin(ang) * K + (1 - _math.cos(ang)) * (K @ K)
     gate = 0.06 if jax.devices()[0].platform == "cpu" else 0.12
     assert worst_miss(rot, corners @ R.T, chiseled=True, res=0.1) < gate
+
+
+def test_dc_native_finish_matches_numpy_oracle(monkeypatch):
+    """The native quad emission (native.gsdf_dc_finish, both rank
+    backends) must reproduce finish_dc_mesh_numpy BIT-FOR-BIT — same
+    triangles, same order, same block sizes — on a part whose edges
+    also touch the grid boundary (partial quads dropped)."""
+    from gsdf_tpu import native as nat
+    from gsdf_tpu.render import dual_contour as dcm
+
+    if nat.get_lib() is None:
+        pytest.skip("native library unavailable")
+    s = bld.difference(
+        bld.smooth_union(
+            0.1, bld.new_sphere(0.6), bld.new_box(1.0, 1.0, 0.4, 0.05)
+        ),
+        bld.new_cylinder(0.25, 3.0, 0.0),
+    )
+    captured = {}
+    orig = dcm.finish_dc_mesh
+
+    def spy(*a):
+        captured["args"] = a
+        return orig(*a)
+
+    monkeypatch.setattr(dcm, "finish_dc_mesh", spy)
+    tris = DualContourRenderer(s, 0.05).render()
+    a = captured["args"]
+    offs = np.array([dcm._OFFS[x] for x in range(3)], np.int32)
+    tn, bn = dcm.finish_dc_mesh_numpy(*a)
+    np.testing.assert_array_equal(tn, tris)  # render used an equal path
+    for force_sort in (False, True):  # bitmap rank + sorted-table rank
+        tc, bc = nat.dc_finish(*a, offs, force_sort=force_sort)
+        assert bn == bc
+        np.testing.assert_array_equal(tn, tc)
+
+
+def test_dc_native_finish_voxel_mismatch_raises():
+    """A corrupt payload (derived voxel table != kernel count) must
+    raise in the native path exactly like the numpy oracle — never
+    truncate."""
+    from gsdf_tpu import native as nat
+    from gsdf_tpu.render import dual_contour as dcm
+
+    if nat.get_lib() is None:
+        pytest.skip("native library unavailable")
+    offs = np.array([dcm._OFFS[x] for x in range(3)], np.int32)
+    verts = np.zeros((8, 3), np.float32)
+    eax = np.array([2], np.int64)  # z edge at (1,1,1) of a 3^3 grid
+    lin = np.array([(1 * 3 + 1) * 3 + 1], np.int64)
+    flips = np.array([False])
+    with pytest.raises(RuntimeError, match="voxel-count mismatch"):
+        nat.dc_finish(verts, eax, lin, flips, 3, 3, 3, 99, offs)
+    with pytest.raises(RuntimeError, match="voxel-count mismatch"):
+        dcm.finish_dc_mesh_numpy(verts, eax, lin, flips, 3, 3, 3, 99)
