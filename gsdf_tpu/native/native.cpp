@@ -18,7 +18,9 @@
 #include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -140,7 +142,46 @@ int64_t gsdf_mc_decode(const uint32_t* ids, const uint8_t* cases,
                        const uint8_t* edge_axis, const int8_t* edge_low,
                        float* verts_out, int32_t* tri_idx_out) {
     const int64_t ncubes = (int64_t)nx * ny * nz;
-    std::vector<int32_t> slot(ncubes, -1);
+    // Slot map over the FULL cube grid, 1-based (0 = inactive). A plain
+    // per-call fill costs the whole map in writes/page faults every
+    // decode (408 MB at a 102M-cube slabbed render), so:
+    // - steady state reuses a process-cached grow-only buffer and,
+    //   after use, re-zeroes ONLY the n_active touched entries (the
+    //   clean-buffer invariant every acquisition relies on);
+    // - huge grids (> 2^26 cubes) and concurrent callers take a fresh
+    //   calloc instead — lazily-faulted zero pages, only surface pages
+    //   ever touched.
+    static std::mutex slot_mu;
+    static int32_t* slot_cache = nullptr;
+    static int64_t slot_cap = 0;
+    int32_t* slot = nullptr;
+    bool cached = false;
+    std::unique_lock<std::mutex> slot_lk(slot_mu, std::try_to_lock);
+    if (ncubes <= ((int64_t)1 << 26) && slot_lk.owns_lock()) {
+        if (slot_cap < ncubes) {
+            std::free(slot_cache);
+            slot_cache = (int32_t*)std::calloc((size_t)ncubes,
+                                               sizeof(int32_t));
+            slot_cap = slot_cache ? ncubes : 0;
+        }
+        if (slot_cache) {
+            slot = slot_cache;
+            cached = true;
+        }
+    }
+    if (!cached) slot = (int32_t*)std::calloc((size_t)ncubes, sizeof(int32_t));
+    if (!slot) return -1;
+    auto release_slot = [&]() {
+        if (cached) {
+            // restore the clean-buffer invariant: zero exactly the
+            // entries pass 1 may have written (out-of-range ids were
+            // never written; zeroing an unwritten entry is a no-op)
+            for (int64_t a = 0; a < n_active; a++)
+                if ((int64_t)ids[a] < ncubes) slot[ids[a]] = 0;
+        } else {
+            std::free(slot);
+        }
+    };
     std::vector<int32_t> vbase(n_active + 1, 0);
     std::vector<int64_t> toffs(n_active + 1, 0);
 
@@ -176,7 +217,7 @@ int64_t gsdf_mc_decode(const uint32_t* ids, const uint8_t* cases,
                 return;
             }
             const uint32_t c = cases[a];
-            slot[ids[a]] = (int32_t)a;
+            slot[ids[a]] = (int32_t)(a + 1);  // 1-based; 0 = inactive
             const uint32_t b0 = c & 1u;
             vbase[a + 1] = (int32_t)((b0 ^ ((c >> 1) & 1u)) +
                                      (b0 ^ ((c >> 3) & 1u)) +
@@ -185,14 +226,20 @@ int64_t gsdf_mc_decode(const uint32_t* ids, const uint8_t* cases,
         }
     });
 
-    if (failed.load()) return -1;  // out-of-range cube id
+    if (failed.load()) {
+        release_slot();
+        return -1;  // out-of-range cube id
+    }
 
     // prefix sums (serial, O(n_active))
     for (int64_t a = 0; a < n_active; a++) {
         vbase[a + 1] = (int32_t)(vbase[a + 1] + vbase[a]);
         toffs[a + 1] += toffs[a];
     }
-    if ((int64_t)vbase[n_active] != n_verts) return -1;  // corrupt payload
+    if ((int64_t)vbase[n_active] != n_verts) {
+        release_slot();
+        return -1;  // corrupt payload
+    }
 
     // pass 2 (parallel): vertex reconstruction + triangle table walk,
     // every cube writes disjoint [vbase[a], vbase[a+1]) / toffs ranges
@@ -241,7 +288,7 @@ int64_t gsdf_mc_decode(const uint32_t* ids, const uint8_t* cases,
                         return;
                     }
                     const int64_t olin = ((int64_t)ok * ny + oj) * nx + oi;
-                    const int32_t os = slot[olin];
+                    const int32_t os = slot[olin] - 1;
                     if (os < 0) {  // owner not active
                         failed.store(true, std::memory_order_relaxed);
                         return;
@@ -266,6 +313,7 @@ int64_t gsdf_mc_decode(const uint32_t* ids, const uint8_t* cases,
             }
         }
     });
+    release_slot();
     if (failed.load()) return -1;
     return toffs[n_active];
 }
