@@ -244,6 +244,7 @@ def render_dc_sharded(
 
     verts_parts, eax_parts, lin_parts, flip_parts = [], [], [], []
     n_vox_total = 0
+    max_a = max_w = max_e = 0  # true per-shard maxima across all chunks
     for chunk in range(n_chunks):
         kb = _replicated(mesh, np.int32(chunk * C), dtype=np.int32)
         # grow-only sizes shared across chunks: every chunk reuses one
@@ -265,6 +266,9 @@ def render_dc_sharded(
             worst_w = int(counts[:, 1].max(initial=0))
             worst_e = int(counts[:, 2].max(initial=0))
             if worst_a <= a_size and worst_w <= w_size and worst_e <= e_size:
+                max_a = max(max_a, worst_a)
+                max_w = max(max_w, worst_w)
+                max_e = max(max_e, worst_e)
                 break
             if worst_a > a_size:
                 a_size = _bucket(worst_a, granule=16384)
@@ -285,9 +289,23 @@ def render_dc_sharded(
             flip_parts.append(flips[own])
             verts_parts.append(verts[:n_v])
             n_vox_total += n_v
-    # grow-only hints: successive (parametric) renders keep one
-    # executable per structure, the sharded-MC discipline
-    _step_cache[hint_key] = (a_size, w_size, e_size)
+    if parametric:
+        # grow-only hints: successive parametric renders keep one
+        # executable per structure (the zero-recompile edit contract)
+        _step_cache[hint_key] = (a_size, w_size, e_size)
+    else:
+        # TIGHT hints (+25% headroom), the single-device DC discipline:
+        # the initial w_size = a_size estimate can be ~9x the true voxel
+        # count, and every padded slot ships 12 payload bytes per chunk
+        # and pays 6 padded normal evals — at a chunked DC render the
+        # padding dominated the warm fetch. The next render compiles
+        # once more at the tight sizes, then stays minimal; never store
+        # below what this render actually needed.
+        _step_cache[hint_key] = (
+            min(a_size, _bucket(int(max_a * 1.25) + 1, granule=16384)),
+            min(w_size, _bucket(int(max_w * 1.25) + 1, granule=16384)),
+            min(e_size, _bucket(int(max_e * 1.25) + 64, granule=4096)),
+        )
     eax = np.concatenate(eax_parts)
     if len(eax) == 0:
         return np.empty((0, 3, 3), _f32)
