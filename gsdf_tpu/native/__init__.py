@@ -20,7 +20,7 @@ _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _build(dst: str = _SO_PATH) -> bool:
     try:
         subprocess.run(
             [
@@ -30,7 +30,7 @@ def _build() -> bool:
                 # matches the documented reference arithmetic
                 "-ffp-contract=off",
                 "-pthread",
-                "-o", _SO_PATH, _SRC,
+                "-o", dst, _SRC,
             ],
             check=True,
             capture_output=True,
@@ -50,20 +50,33 @@ def get_lib():
     if not os.path.exists(_SO_PATH) or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC):
         if not _build():
             return None
-    for attempt in range(2):
-        if _register():
-            break
-        # a stale prebuilt .so can miss a newer entry point even with a
-        # fresh mtime (checkout order): force one rebuild, then give up
-        if attempt or not _build():
-            break
+    if _register(_SO_PATH):
+        return _lib
+    # A stale prebuilt .so can miss a newer entry point even with a
+    # fresh mtime (checkout order). Rebuilding in place cannot help
+    # in-process: dlopen dedupes by path and would return the already-
+    # loaded stale handle (and rebuilding over a mapped file mutates
+    # the mapped image). Build to a FRESH path, load that, then promote
+    # it to the canonical name for future processes; the temp file can
+    # be unlinked once mapped.
+    tmp = f"{_SO_PATH}.fresh.{os.getpid()}"
+    if _build(tmp):
+        if _register(tmp):
+            try:
+                os.replace(tmp, _SO_PATH)
+            except OSError:
+                pass
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
     return _lib
 
 
-def _register() -> bool:
+def _register(path: str) -> bool:
     global _lib
     try:
-        lib = ctypes.CDLL(_SO_PATH)
+        lib = ctypes.CDLL(path)
         lib.gsdf_stl_encode.argtypes = [
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64,
@@ -423,6 +436,8 @@ def dc_finish(verts, eax, lin, flips, nx, ny, nz, n_vox, offs,
         blocks6.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         1 if force_sort else 0,
     )
+    if got == -(2**63):  # INT64_MIN: edge axis/lin outside the grid
+        raise RuntimeError("corrupt DC payload: edge id out of range")
     if got < 0:
         raise RuntimeError(
             f"DC payload voxel-count mismatch: derived {-int(got) - 1} "

@@ -24,6 +24,27 @@
 #include <thread>
 #include <vector>
 
+// The ONE chunk-and-join thread pool every entry point shares: splits
+// [0, n) into nthreads contiguous chunks and runs body(t, lo, hi) on
+// each (t = chunk/thread id, for callers that keep per-thread state).
+// nthreads <= 1 runs inline.
+template <typename Body>
+static void run_parallel(int nthreads, int64_t n, Body body) {
+    if (nthreads <= 1) {
+        body(0, (int64_t)0, n);
+        return;
+    }
+    std::vector<std::thread> ts;
+    const int64_t chunk = (n + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        const int64_t lo = t * chunk;
+        const int64_t hi = std::min<int64_t>(lo + chunk, n);
+        if (lo >= hi) break;
+        ts.emplace_back(body, t, lo, hi);
+    }
+    for (auto& th : ts) th.join();
+}
+
 extern "C" {
 
 // Encode n triangles (n*9 floats, v0 v1 v2 per triangle) into binary STL
@@ -147,17 +168,18 @@ int64_t gsdf_mc_decode(const uint32_t* ids, const uint8_t* cases,
     // decode (408 MB at a 102M-cube slabbed render), so:
     // - steady state reuses a process-cached grow-only buffer and,
     //   after use, re-zeroes ONLY the n_active touched entries (the
-    //   clean-buffer invariant every acquisition relies on);
-    // - huge grids (> 2^26 cubes) and concurrent callers take a fresh
-    //   calloc instead — lazily-faulted zero pages, only surface pages
-    //   ever touched.
+    //   clean-buffer invariant every acquisition relies on); capped at
+    //   2^24 cubes so the retained buffer never exceeds 64 MB;
+    // - bigger grids and concurrent callers take a fresh calloc
+    //   instead — lazily-faulted zero pages, only surface pages ever
+    //   touched.
     static std::mutex slot_mu;
     static int32_t* slot_cache = nullptr;
     static int64_t slot_cap = 0;
     int32_t* slot = nullptr;
     bool cached = false;
     std::unique_lock<std::mutex> slot_lk(slot_mu, std::try_to_lock);
-    if (ncubes <= ((int64_t)1 << 26) && slot_lk.owns_lock()) {
+    if (ncubes <= ((int64_t)1 << 24) && slot_lk.owns_lock()) {
         if (slot_cap < ncubes) {
             std::free(slot_cache);
             slot_cache = (int32_t*)std::calloc((size_t)ncubes,
@@ -191,19 +213,8 @@ int64_t gsdf_mc_decode(const uint32_t* ids, const uint8_t* cases,
     std::atomic<bool> failed(false);
 
     auto parallel_for = [&](auto body) {
-        if (nthreads <= 1) {
-            body(0, n_active);
-            return;
-        }
-        std::vector<std::thread> ts;
-        const int64_t chunk = (n_active + nthreads - 1) / nthreads;
-        for (int t = 0; t < nthreads; t++) {
-            const int64_t lo = t * chunk;
-            const int64_t hi = std::min<int64_t>(lo + chunk, n_active);
-            if (lo >= hi) break;
-            ts.emplace_back(body, lo, hi);
-        }
-        for (auto& th : ts) th.join();
+        run_parallel(nthreads, n_active,
+                     [&](int, int64_t lo, int64_t hi) { body(lo, hi); });
     };
 
     // pass 1 (parallel): slot map (disjoint writes), per-cube vertex and
@@ -325,7 +336,7 @@ void gsdf_stl_encode_indexed(const float* verts, const int32_t* tri_idx,
     const int nthreads = (int)std::min<int64_t>(
         std::max(1u, std::thread::hardware_concurrency()),
         std::max<int64_t>(1, n / 65536));
-    auto body = [&](int64_t lo, int64_t hi) {
+    run_parallel(nthreads, n, [&](int, int64_t lo, int64_t hi) {
         for (int64_t i = lo; i < hi; i++) {
         const int32_t* ix = tri_idx + i * 3;
         const float* a = verts + (int64_t)ix[0] * 3;
@@ -351,20 +362,7 @@ void gsdf_stl_encode_indexed(const float* verts, const int32_t* tri_idx,
             rec[48] = 0;
             rec[49] = 0;
         }
-    };
-    if (nthreads <= 1) {
-        body(0, n);
-        return;
-    }
-    std::vector<std::thread> ts;
-    const int64_t chunk = (n + nthreads - 1) / nthreads;
-    for (int t = 0; t < nthreads; t++) {
-        const int64_t lo = t * chunk;
-        const int64_t hi = std::min<int64_t>(lo + chunk, n);
-        if (lo >= hi) break;
-        ts.emplace_back(body, lo, hi);
-    }
-    for (auto& th : ts) th.join();
+    });
 }
 
 // Dual-contour host finish: quad emission from the v2 mesh payload
@@ -381,9 +379,10 @@ void gsdf_stl_encode_indexed(const float* verts, const int32_t* tri_idx,
 // a block of m[a] [c2,c3,c0] triangles (flipped quads reverse corner
 // order), axes concatenated — exactly the numpy path's per-axis
 // two-block emission. blocks_out[6] gets {m0,m0,m1,m1,m2,m2}.
-// Returns the triangle count, or -(derived_voxel_count)-1 when the
-// derived unique voxel table disagrees with n_vox (corrupt payload —
-// caller raises, never truncates).
+// Returns the triangle count; -(derived_voxel_count)-1 when the
+// derived unique voxel table disagrees with n_vox; INT64_MIN when an
+// edge's axis/lin is outside the grid (corrupt payload — the caller
+// raises in both cases, never truncates).
 // force_sort=1 selects the sorted-table backend regardless of grid
 // size (the tests' lever for covering the huge-grid path).
 int64_t gsdf_dc_finish(const float* verts, const int64_t* eax,
@@ -396,21 +395,7 @@ int64_t gsdf_dc_finish(const float* verts, const int64_t* eax,
         std::max(1u, std::thread::hardware_concurrency()),
         std::max<int64_t>(1, n / 16384));
 
-    auto parallel_for = [&](auto body) {
-        if (nthreads <= 1) {
-            body(0, 0, n);
-            return;
-        }
-        std::vector<std::thread> ts;
-        const int64_t chunk = (n + nthreads - 1) / nthreads;
-        for (int t = 0; t < nthreads; t++) {
-            const int64_t lo = t * chunk;
-            const int64_t hi = std::min<int64_t>(lo + chunk, n);
-            if (lo >= hi) break;
-            ts.emplace_back(body, t, lo, hi);
-        }
-        for (auto& th : ts) th.join();
-    };
+    auto parallel_for = [&](auto body) { run_parallel(nthreads, n, body); };
     // Rank structure for vid lookup (vid = ascending-unique rank of a
     // voxel id, == numpy searchsorted into the unique table). Two
     // interchangeable backends with identical ranks:
@@ -426,7 +411,10 @@ int64_t gsdf_dc_finish(const float* verts, const int64_t* eax,
 
     // pass 1: per-edge corner ids; mark/collect in-range corner + own
     // voxel ids, count fully-in-range quads per axis (slots indexed by
-    // thread id; trailing ones may stay empty)
+    // thread id; trailing ones may stay empty). eax/lin are caller data
+    // (a decoded payload): out-of-range values must fail cleanly — the
+    // gsdf_mc_decode discipline — never index past the bitmap/tables.
+    std::atomic<bool> bad_edge(false);
     std::vector<std::vector<int64_t>> cand(use_bitmap ? 0 : nthreads);
     std::vector<std::array<int64_t, 3>> cnt(nthreads, {0, 0, 0});
     if (use_bitmap) bits.assign((size_t)((V + 63) / 64), 0);
@@ -445,6 +433,10 @@ int64_t gsdf_dc_finish(const float* verts, const int64_t* eax,
         };
         for (int64_t e = lo; e < hi; e++) {
             const int64_t l = lin[e];
+            if ((uint64_t)eax[e] > 2 || (uint64_t)l >= (uint64_t)V) {
+                bad_edge.store(true, std::memory_order_relaxed);
+                return;
+            }
             const int64_t ek = l / plane;
             const int64_t ej = (l / nx) % ny;
             const int64_t ei = l % nx;
@@ -466,6 +458,7 @@ int64_t gsdf_dc_finish(const float* verts, const int64_t* eax,
         }
     });
 
+    if (bad_edge.load()) return INT64_MIN;  // corrupt payload edge
     int64_t derived = 0;
     if (use_bitmap) {
         pref.resize(bits.size() + 1);

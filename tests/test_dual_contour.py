@@ -438,3 +438,11 @@ def test_dc_native_finish_voxel_mismatch_raises():
         nat.dc_finish(verts, eax, lin, flips, 3, 3, 3, 99, offs)
     with pytest.raises(RuntimeError, match="voxel-count mismatch"):
         dcm.finish_dc_mesh_numpy(verts, eax, lin, flips, 3, 3, 3, 99)
+    # out-of-range edge axis / voxel id (bit-flipped delta stream) must
+    # fail cleanly in the native path, never write past the rank tables
+    for bad_eax, bad_lin in (([7], [13]), ([2], [27]), ([2], [-1])):
+        with pytest.raises(RuntimeError, match="out of range"):
+            nat.dc_finish(
+                verts, np.array(bad_eax, np.int64),
+                np.array(bad_lin, np.int64), flips, 3, 3, 3, 8, offs,
+            )
