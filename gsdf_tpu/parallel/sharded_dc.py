@@ -149,7 +149,7 @@ def render_dc_sharded(
     tree: Shader3D, mesh, res: float,
     contourer: DualContourLeastSquares | None = None,
     parametric: bool = False, size_hint=None,
-    max_points_per_shard=None,
+    max_points_per_shard=None, counters=None,
 ):
     """Multi-chip dual-contour render: returns the SAME (T,3,3) f32
     triangle array as DualContourRenderer(...).render() on one device
@@ -171,7 +171,12 @@ def render_dc_sharded(
     concatenate into exactly the whole-grid payload, so the triangles
     stay bit-identical. The per-SHARD int32 edge-id ceiling
     (3*(c_own+1)*plane < 2^31) is what chunking relaxes; global ids are
-    int64 on host."""
+    int64 on host.
+
+    counters (optional dict) is filled with {"corners": evaluated grid
+    corners incl. halo recompute, "edges": owned+halo active edges} so
+    callers (DualContourRenderer's auto-chunk route) can keep their
+    evaluations() contract."""
     from ..ops.mc_emit import bucket as _bucket
 
     contourer = contourer or DualContourLeastSquares()
@@ -244,6 +249,7 @@ def render_dc_sharded(
 
     verts_parts, eax_parts, lin_parts, flip_parts = [], [], [], []
     n_vox_total = 0
+    n_edges_total = 0
     max_a = max_w = max_e = 0  # true per-shard maxima across all chunks
     for chunk in range(n_chunks):
         kb = _replicated(mesh, np.int32(chunk * C), dtype=np.int32)
@@ -289,6 +295,7 @@ def render_dc_sharded(
             flip_parts.append(flips[own])
             verts_parts.append(verts[:n_v])
             n_vox_total += n_v
+            n_edges_total += n_e
     if parametric:
         # grow-only hints: successive parametric renders keep one
         # executable per structure (the zero-recompile edit contract)
@@ -306,6 +313,9 @@ def render_dc_sharded(
             min(w_size, _bucket(int(max_w * 1.25) + 1, granule=16384)),
             min(e_size, _bucket(int(max_e * 1.25) + 64, granule=4096)),
         )
+    if counters is not None:
+        counters["corners"] = n_chunks * n_dev * (c + 2) * plane_corners
+        counters["edges"] = n_edges_total
     eax = np.concatenate(eax_parts)
     if len(eax) == 0:
         return np.empty((0, 3, 3), _f32)

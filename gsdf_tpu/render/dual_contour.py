@@ -784,14 +784,44 @@ class DualContourRenderer:
             return self._render_host()
         return self._render_device(parametric=parametric)
 
+    # Voxel count above which the MONOLITHIC DC executable hits XLA's
+    # compile wall (measured on the bolt scene: 10M voxels ≈ minutes,
+    # 23.7M exceeded 58 minutes in a healthy window) and rendering
+    # auto-routes through the slab-chunk composition instead — one small
+    # per-chunk executable (~68 s compile) re-dispatched down the grid,
+    # bit-identical triangles (docs/PERFORMANCE.md "Dual contouring").
+    mono_voxels = 12_000_000
+    # corner-point budget per chunk dispatch on the auto-chunk route
+    chunk_points = 4_000_000
+
     def _render_device(self, parametric: bool = False) -> np.ndarray:
         """Fully-on-device pipeline; host work is one fetch plus the
-        final quad gather."""
+        final quad gather. Grids past `mono_voxels` dispatch the SAME
+        emit kernel per z-slab chunk (parallel/sharded_dc.py on a
+        1-device mesh) instead of one monolithic executable — the
+        compile-wall analog of FlatRenderer.compact_cubes' memory
+        gate."""
         from ..ops.marching_cubes import _bucket
 
         res = float(self.res)
         nk, nj, ni = self.nz + 1, self.ny + 1, self.nx + 1
         nvox = self.nz * self.ny * self.nx
+        if nvox > self.mono_voxels:
+            from ..parallel.sharded import make_mesh
+            from ..parallel.sharded_dc import render_dc_sharded
+
+            mesh = make_mesh([self.device])
+            counters: dict = {}
+            tris = render_dc_sharded(
+                self.s, mesh, res, contourer=self.contourer,
+                parametric=parametric,
+                max_points_per_shard=self.chunk_points,
+                counters=counters,
+            )
+            self._evaluations += (
+                counters["corners"] + 6 * counters["edges"]
+            )
+            return tris
         if parametric:
             from ..eval.parametric import pack_params, structural_hash
 

@@ -446,3 +446,28 @@ def test_dc_native_finish_voxel_mismatch_raises():
                 verts, np.array(bad_eax, np.int64),
                 np.array(bad_lin, np.int64), flips, 3, 3, 3, 8, offs,
             )
+
+
+def test_dc_auto_chunk_route_bitexact(monkeypatch):
+    """Grids past DualContourRenderer.mono_voxels (the XLA compile wall)
+    must auto-route through the slab-chunk composition and reproduce the
+    monolithic render BIT-FOR-BIT (the chunked path's payload identity),
+    keeping the evaluations() contract populated."""
+    s = bld.difference(
+        bld.smooth_union(
+            0.1, bld.new_sphere(0.7), bld.new_box(1.1, 1.1, 0.5, 0.05)
+        ),
+        bld.new_cylinder(0.25, 3.0, 0.0),
+    )
+    res = 0.05
+    mono = DualContourRenderer(s, res)
+    t_mono = mono.render()
+    auto = DualContourRenderer(s, res)
+    monkeypatch.setattr(DualContourRenderer, "mono_voxels", 1000)
+    monkeypatch.setattr(
+        DualContourRenderer, "chunk_points",
+        (auto.nx + 2) * (auto.ny + 2) * 8,
+    )
+    t_auto = auto.render()
+    np.testing.assert_array_equal(t_auto, t_mono)
+    assert auto.evaluations() > 0
