@@ -250,14 +250,23 @@ def glyph_contours(glyphset, name: str, scale: float, tol: float) -> List[np.nda
             prev = args[0]
         elif op == "qCurveTo":
             # TrueType: sequence of off-curve points with implied on-curve
-            # midpoints; final arg is the on-curve end (may be None for
-            # all-offcurve contours).
+            # midpoints; final arg is the on-curve end. A final None marks
+            # an ALL-off-curve contour (fontTools emits it with NO
+            # preceding moveTo): its implied on-curve start/end is the
+            # midpoint of the LAST and FIRST off-curve points — `prev` is
+            # stale from the previous contour and must not be used.
             pts = list(args)
             if pts[-1] is None:
-                pts[-1] = tuple((np.array(pts[0]) + np.array(prev)) / 2)
-            start = prev
-            offs = pts[:-1]
-            end = pts[-1]
+                offs = pts[:-1]
+                start = tuple(
+                    (np.array(offs[-1], float) + np.array(offs[0], float))
+                    / 2
+                )
+                end = start
+            else:
+                start = prev
+                offs = pts[:-1]
+                end = pts[-1]
             for i, c in enumerate(offs):
                 if i < len(offs) - 1:
                     nxt = tuple(

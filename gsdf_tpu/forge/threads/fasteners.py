@@ -87,10 +87,19 @@ def knurl(bld, k: KnurlParams) -> Shader3D:
         raise ValueError("zero knurl helix angle")
     if k.theta >= math.pi / 2:
         raise ValueError("too large knurl helix angle")
-    k.starts = int(2 * math.pi * k.radius * math.tan(k.theta) / k.pitch)
-    knurl0 = screw(bld, k.length, k)
-    k_rev = dataclasses.replace(k, starts=-k.starts)
-    knurl1 = screw(bld, k.length, k_rev)
+    # helix-angle start count in the reference's float32 chain
+    # (knurl.go:68 — `math` aliases math32, so every op is f32; a
+    # float64 chain can land on the other side of the int truncation).
+    # KnurlParams is NOT mutated: Go passes the struct by value, so the
+    # reference's `k.starts = ...` is local to Knurl.
+    f32 = np.float32
+    tan32 = f32(math.tan(float(f32(k.theta))))
+    starts = int(
+        f32(f32(f32(f32(2 * math.pi) * f32(k.radius)) * tan32)
+            / f32(k.pitch))
+    )
+    knurl0 = screw(bld, k.length, dataclasses.replace(k, starts=starts))
+    knurl1 = screw(bld, k.length, dataclasses.replace(k, starts=-starts))
     return bld.intersection(knurl0, knurl1)
 
 

@@ -99,22 +99,33 @@ class PolygonBuilder:
         consumers close the loop implicitly, as NewPolygon does)."""
         if len(self._verts) < 3:
             raise ValueError("polygon builder needs at least 3 vertices")
-        # Pass 1: expand arcs (they replace the incoming segment).
+        # Pass 1: expand arcs (they replace the incoming segment). An arc
+        # on the FIRST vertex arcs the implicit closing segment (last ->
+        # first), so its intermediate points belong after the last
+        # vertex — deferred to the end of the expanded list, never
+        # silently degraded to a plain corner.
         expanded: List[_Vertex] = []
+        deferred: List[_Vertex] = []
         n = len(self._verts)
         for i, v in enumerate(self._verts):
-            if v.kind == "arc" and i > 0:
-                prev = expanded[-1] if expanded else self._verts[-1]
+            if v.kind == "arc":
+                prev = (
+                    expanded[-1] if i > 0 and expanded else self._verts[-1]
+                )
                 pts = _arc_points(
                     (prev.x, prev.y), (v.x, v.y), v.radius, max(1, v.facets)
                 )
-                for (px, py) in pts[1:-1]:
-                    expanded.append(_Vertex(px, py))
+                mids = [_Vertex(px, py) for (px, py) in pts[1:-1]]
+                if i > 0:
+                    expanded.extend(mids)
+                else:
+                    deferred = mids
                 expanded.append(_Vertex(v.x, v.y))
             else:
                 expanded.append(
-                    _Vertex(v.x, v.y, v.kind if v.kind != "arc" else "corner", v.radius, v.facets)
+                    _Vertex(v.x, v.y, v.kind, v.radius, v.facets)
                 )
+        expanded.extend(deferred)
         # Pass 2: smooth / chamfer corners.
         out: List[tuple] = []
         n = len(expanded)

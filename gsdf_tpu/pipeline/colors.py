@@ -26,8 +26,13 @@ def color_conversion_inigo_quilez(char_length: float):
         mx = 1 - t * t * (3 - 2 * t)
         c = c + (1.0 - c) * mx[..., None]
         img = np.empty(dd.shape + (4,), np.uint8)
-        img[..., :3] = np.clip(c * 255, 0, 255).astype(np.uint8)
+        img[..., :3] = np.clip(np.nan_to_num(c) * 255, 0, 255).astype(
+            np.uint8
+        )
         img[..., 3] = 255
+        # NaN distances render RED — the palette's bad-field debug flag
+        # (reference color.go:22,31 'Returns red for NaN values')
+        img[np.isnan(dd)] = (255, 0, 0, 255)
         return img
 
     return conv

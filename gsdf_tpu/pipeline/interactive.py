@@ -203,7 +203,18 @@ class InteractiveViewer:
         """Parametric slider edit: rebind one continuous parameter and
         re-render through the SAME per-structure executable — zero new
         compiles per edit (eval.parametric; the warm edit loop of
-        examples/interactive_edit.py made interactive)."""
+        examples/interactive_edit.py made interactive).
+
+        Only valid on a viewer constructed with `params`: without the
+        parametric executable, every rebind would change the tree hash
+        and silently jit-compile (and cache) a fresh raymarch kernel per
+        edit — seconds per slider tick and unbounded kernel growth."""
+        if not self.parametric:
+            raise ValueError(
+                "set_param requires a viewer constructed with params=[...] "
+                "(the zero-recompile parametric executable); rebinding a "
+                "non-parametric viewer would recompile on every edit"
+            )
         self.obj.rebind({node: {name: float(value)}})
         self._pending = None  # view changed shape: flush stale frames
 

@@ -97,7 +97,6 @@ def render_shader3d(obj: Shader3D, cfg: RenderConfig) -> dict:
         stats["stl_seconds"] = dt_stl
         stats["stl_bytes"] = n
         log(f"[{_fmt_dur(dt_stl)}] wrote {n} bytes STL")
-    tris = verts[tri_idx]
 
     if cfg.visual_output is not None:
         from ..visual.shadertoy import write_shadertoy_visual
@@ -105,7 +104,11 @@ def render_shader3d(obj: Shader3D, cfg: RenderConfig) -> dict:
         write_shadertoy_visual(cfg.visual_output, obj)
         log(f"[{_fmt_dur(lap())}] wrote visualization")
 
-    stats["tris_array"] = tris
+    # the indexed mesh, already in hand — callers gather a soup with
+    # verts[tri_idx] if they need one (a dense (T,3,3) array is ~3x the
+    # indexed payload, so it is not materialized eagerly here)
+    stats["verts"] = verts
+    stats["tri_idx"] = tri_idx
     return stats
 
 

@@ -175,7 +175,15 @@ class SDF3:
         if res == 0:
             divs = cfg.resolution_divisions or 1 << 9
             res = self.s.bounds().diagonal() / divs
-        return FlatRenderer(self.s, res).render_compact()
+        # honor use_gpu exactly like save_stl's render_shader3d branch:
+        # use_gpu=False must render on the CPU oracle device even when
+        # an accelerator owns the process default
+        import jax
+
+        device = (
+            jax.devices()[0] if cfg.use_gpu else jax.devices("cpu")[0]
+        )
+        return FlatRenderer(self.s, res, device=device).render_compact()
 
     def save_obj(self, filename: str, cfg: STLConfig = STLConfig()) -> int:
         """Save a welded OBJ mesh (indexed; no crack-welding pass needed —

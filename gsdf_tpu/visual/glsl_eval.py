@@ -215,9 +215,13 @@ def _runtime() -> Dict:
         "abs": _unary(np.abs),
         "sign": _unary(np.sign),
         "floor": _unary(np.floor),
-        # GLSL round() ties are implementation-defined; jnp.round (the
-        # compute-path implementation, e.g. ops3.Array) is half-even,
-        # which np.round matches
+        # GLSL round() ties are implementation-defined (np.round here is
+        # half-even; the compute nodes use half-AWAY, ops3.py:23-26).
+        # The only emitters using round() are Array/Array2D, where the
+        # tie direction is immaterial: their 2-candidate neighborhood
+        # scan evaluates {id, id+sign(p-s*id)} per axis, and at a tie
+        # both roundings produce the SAME candidate set {n, n+1} — the
+        # min over it is identical either way.
         "round": _unary(np.round),
         "sqrt": _unary(np.sqrt),
         "cos": _unary(np.cos),

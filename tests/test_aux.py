@@ -158,6 +158,16 @@ def test_colors():
     assert img2.shape == (8, 8, 4)
     # gradient endpoints differ
     assert not np.array_equal(img2[0, 0], img2[-1, -1])
+    # NaN distances render RED — the IQ palette's bad-field debug flag
+    # (reference gsdfaux/color.go:22,31)
+    dn = d.copy()
+    dn[2, 3] = np.nan
+    img3 = color_conversion_inigo_quilez(0.5)(dn)
+    np.testing.assert_array_equal(img3[2, 3], (255, 0, 0, 255))
+    # non-NaN pixels unchanged
+    mask = np.ones((8, 8), bool)
+    mask[2, 3] = False
+    np.testing.assert_array_equal(img3[mask], img1[mask])
 
 
 def test_normals_point_outward():

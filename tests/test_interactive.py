@@ -175,3 +175,18 @@ def test_parametric_slider_edit_zero_recompile():
     v.render_current("drag")
     v.render_current("drag")
     assert len(rm._rm_cache) == n_exec + 1  # one drag-shape executable
+
+
+def test_set_param_requires_parametric_viewer():
+    """set_param on a viewer constructed WITHOUT params must raise: each
+    rebind would silently jit a fresh raymarch kernel per edit (and cache
+    it forever) instead of the promised zero-recompile path."""
+    import pytest
+
+    bld = Builder()
+    boss = bld.new_cylinder(0.45, 1.2, 0.05)
+    obj = bld.smooth_union(0.1, bld.new_box(1.6, 1.0, 0.5, 0.05), boss)
+    v = InteractiveViewer(obj, width=32, height=32, steps=16)
+    assert not v.parametric
+    with pytest.raises(ValueError, match="params"):
+        v.set_param(boss, "r", 0.3)

@@ -48,3 +48,35 @@ def test_abp8_extruded_triangle_golden():
     res = ex.bounds().diagonal() / 150
     tris = FlatRenderer(ex, res).render()
     assert len(tris) == 61700
+
+
+def test_all_offcurve_contour():
+    """TrueType contours with NO on-curve points (fontTools emits
+    qCurveTo(..., None) with no preceding moveTo — common for circular
+    dots in quadratic-outline fonts): the implied on-curve start is the
+    midpoint of the LAST and FIRST off-curve points, never the previous
+    contour's stale endpoint."""
+    from gsdf_tpu.forge.textsdf.font import glyph_contours, signed_area
+
+    class _Glyph:
+        def draw(self, pen):
+            # a "circle" of four off-curve points around the origin,
+            # deliberately far from the (0,0) stale-prev anchor
+            pen.value = [
+                ("qCurveTo", ((10, 0), (0, 10), (-10, 0), (0, -10), None)),
+                ("closePath", ()),
+            ]
+
+    # glyph_contours drives a RecordingPen; emulate draw() by writing
+    # pen.value directly (RecordingPen stores (op, args) tuples)
+    contours = glyph_contours({"dot": _Glyph()}, "dot", 1.0, 0.05)
+    assert len(contours) == 1
+    c = contours[0]
+    r = np.linalg.norm(c, axis=1)
+    # every flattened point lies in the annulus of the implied round
+    # contour — in particular nowhere near the stale (0,0) anchor
+    assert r.min() > 4.0, f"contour collapsed toward stale start: {r.min()}"
+    assert r.max() < 10.5
+    # closed, consistently wound, roughly centered
+    assert abs(signed_area(c)) > 50
+    assert np.abs(c.mean(axis=0)).max() < 1.0
