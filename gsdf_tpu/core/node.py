@@ -101,8 +101,11 @@ class Shader:
         CONT_PARAMS. Structural parameters (anything baked into the
         trace) are rejected — rebuild the tree to change those. Values
         are cast to float32; array shapes must match (structural-hash
-        stability). Derived continuous pairs (e.g. a transform's matrix
-        and its inverse) must be rebound together.
+        stability). Derived continuous values (e.g. a transform's
+        inverse matrix) are recomputed automatically: nodes declaring a
+        `_rebind_derived()` hook have it invoked after their edits are
+        applied, so `rebind({transform: {"t": M}})` is complete by
+        itself.
 
         All cached structural hashes in the tree are invalidated, so
         subsequent NON-parametric renders also see the edit (a fresh
@@ -133,6 +136,9 @@ class Shader:
                 object.__setattr__(
                     node, name, new if new.shape else np.float32(val)
                 )
+            derive = getattr(node, "_rebind_derived", None)
+            if derive is not None:
+                derive()
         for n in self.visit_bfs():
             object.__setattr__(n, "_tree_hash_cache", None)
         return self

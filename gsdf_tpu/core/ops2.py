@@ -213,7 +213,16 @@ class Rotation2D(Shader2D):
     def __init__(self, s, theta):
         self.s = s
         self.t = rotation_mat2(theta)
-        self.t_inv = np.linalg.inv(self.t.astype(np.float64)).astype(_f32)
+        self._rebind_derived()
+
+    def _rebind_derived(self):
+        """Recompute t_inv from t (invoked by Shader.rebind — see
+        ops3.Transform._rebind_derived)."""
+        object.__setattr__(
+            self,
+            "t_inv",
+            np.linalg.inv(np.asarray(self.t, np.float64)).astype(_f32),
+        )
 
     def distance(self, p):
         rot = jnp.asarray(self.t_inv)

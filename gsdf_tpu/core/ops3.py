@@ -53,11 +53,24 @@ class OpUnion(Shader3D):
     def distance(self, p):
         import jax
 
+        from ..eval import parametric as par
+
+        # Under parametric binding params are OPERANDS that a later
+        # rebind may diverge between members, so grouping must be
+        # value-blind (structural hash — also what keys the parametric
+        # executable cache) and each member's subtree params must ride
+        # the scan. Outside binding params are constants baked at trace
+        # time, so the value-inclusive tree_hash is the correct (and
+        # tighter) grouping key.
+        binding = par.binding_active()
         groups: dict = {}
         ordered = []  # (kind, payload) preserving degradation to sequential
         for s in self.joined:
             if isinstance(s, Translate):
-                groups.setdefault(s.s.tree_hash(), []).append(s)
+                key = (
+                    par.structural_hash(s.s) if binding else s.s.tree_hash()
+                )
+                groups.setdefault(key, []).append(s)
             else:
                 ordered.append(s)
         d = None
@@ -68,9 +81,38 @@ class OpUnion(Shader3D):
                 offsets = jnp.stack(
                     [jnp.asarray(n.p_, dtype=jnp.float32) for n in nodes]
                 )  # (G,3)
+                spec = par.param_spec(child) if binding else []
+                if spec:
+                    # each member's flat subtree param vector (identical
+                    # layout: structures are equal) scans alongside its
+                    # offset and is bound onto the shared child per step,
+                    # so a post-compile rebind of ONE member is honored
+                    def _flat(sub):
+                        return jnp.concatenate([
+                            jnp.asarray(
+                                getattr(node, name), jnp.float32
+                            ).reshape(-1)
+                            for node, name, _ in par.param_spec(sub)
+                        ])
 
-                def body(carry, off, _child=child):
-                    return jnp.minimum(carry, _child.distance(p - off)), None
+                    xs = jnp.concatenate(
+                        [offsets, jnp.stack([_flat(n.s) for n in nodes])],
+                        axis=1,
+                    )
+
+                    def body(carry, row, _child=child, _spec=spec):
+                        with par._bind_params(_spec, row[3:]):
+                            dch = _child.distance(p - row[:3])
+                        return jnp.minimum(carry, dch), None
+
+                else:
+                    xs = offsets
+
+                    def body(carry, off, _child=child):
+                        return (
+                            jnp.minimum(carry, _child.distance(p - off)),
+                            None,
+                        )
 
                 init = jnp.full(p.shape[:-1], mx.LARGENUM, dtype=jnp.float32)
                 # unroll=1: unrolling the subtree body changes XLA's fusion
@@ -78,7 +120,7 @@ class OpUnion(Shader3D):
                 # breaking the scan==sequential bit-exact guarantee) and
                 # measured only noise-level end-to-end gain on the
                 # showerhead (eval is a minor term at render resolutions)
-                dg, _ = mx.scan_fold(body, init, offsets, unroll=1)
+                dg, _ = mx.scan_fold(body, init, xs, unroll=1)
                 d = dg if d is None else jnp.minimum(d, dg)
             else:
                 ordered.extend(nodes)
@@ -265,10 +307,20 @@ class Transform(Shader3D):
     def __init__(self, s, t: np.ndarray):
         self.s = s
         self.t = np.asarray(t, dtype=_f32).reshape(4, 4)
-        det = float(np.linalg.det(self.t.astype(np.float64)))
+        self._rebind_derived()
+
+    def _rebind_derived(self):
+        """Recompute t_inv from t — also invoked by Shader.rebind so
+        `rebind({node: {"t": M}})` keeps distance() (which uses only the
+        inverse) consistent with bounds() (which uses t)."""
+        det = float(np.linalg.det(np.asarray(self.t, np.float64)))
         if abs(det) < mx.EPSTOL:
             raise ValueError("singular Mat4")
-        self.t_inv = np.linalg.inv(self.t.astype(np.float64)).astype(_f32)
+        object.__setattr__(
+            self,
+            "t_inv",
+            np.linalg.inv(np.asarray(self.t, np.float64)).astype(_f32),
+        )
 
     def distance(self, p):
         rot = jnp.asarray(self.t_inv[:3, :3])

@@ -245,21 +245,29 @@ class BlockCachedSDF3:
     def bounds(self):
         return self.sdf.bounds()
 
-    def _pack(self, pos: np.ndarray) -> np.ndarray:
+    def _pack(self, pos: np.ndarray):
+        """(packed int64 keys, valid mask). Coordinates outside the
+        21-bit-per-axis key space (bounds spanning > 2^21 voxels, or
+        points > 2^20 voxels below bb.min) would bleed into the
+        neighboring axis fields and COLLIDE — the reference's
+        map[[3]int] (gleval.go:110) cannot, so such rows bypass the
+        cache entirely (always evaluate, never stored) instead of
+        risking a wrong cached distance."""
         bb = self.sdf.bounds()
         k = ((pos - bb.min) * self.mul).astype(np.int64) + self._BIAS
-        return k[:, 0] | (k[:, 1] << 21) | (k[:, 2] << 42)
+        valid = np.all((k >= 0) & (k < (1 << 21)), axis=1)
+        return k[:, 0] | (k[:, 1] << 21) | (k[:, 2] << 42), valid
 
     def evaluate(self, pos: np.ndarray) -> np.ndarray:
         pos = np.ascontiguousarray(pos, dtype=_f32)
         if len(pos) == 0:
             raise ValueError("empty buffers")
-        packed = self._pack(pos)
+        packed, valid = self._pack(pos)
         dist = np.empty(len(pos), _f32)
         if len(self._keys):
             at = np.searchsorted(self._keys, packed)
             at_c = np.minimum(at, len(self._keys) - 1)
-            hit = self._keys[at_c] == packed
+            hit = (self._keys[at_c] == packed) & valid
             dist[hit] = self._vals[at_c[hit]]
         else:
             hit = np.zeros(len(pos), bool)
@@ -269,14 +277,18 @@ class BlockCachedSDF3:
             d_new = np.asarray(self.sdf.evaluate(pos[miss]), _f32)
             dist[miss] = d_new
             # store one value per voxel, last writer wins (the reference
-            # loop stores in order, gleval.go:188-199)
-            pm = packed[miss]
-            rev_first = np.unique(pm[::-1], return_index=True)[1]
-            uk, uv = pm[::-1][rev_first], d_new[::-1][rev_first]
-            keys = np.concatenate([self._keys, uk])
-            vals = np.concatenate([self._vals, uv])
-            order = np.argsort(keys, kind="stable")
-            self._keys, self._vals = keys[order], vals[order]
+            # loop stores in order, gleval.go:188-199); out-of-key-space
+            # rows are never stored
+            vm = valid[miss]
+            pm = packed[miss][vm]
+            dn = d_new[vm]
+            if len(pm):
+                rev_first = np.unique(pm[::-1], return_index=True)[1]
+                uk, uv = pm[::-1][rev_first], dn[::-1][rev_first]
+                keys = np.concatenate([self._keys, uk])
+                vals = np.concatenate([self._vals, uv])
+                order = np.argsort(keys, kind="stable")
+                self._keys, self._vals = keys[order], vals[order]
         self._evals += len(pos)
         self._hits += len(pos) - n_miss
         return dist

@@ -49,8 +49,10 @@ def param_spec(tree: Shader) -> List[Tuple[Shader, str, tuple]]:
             continue
         seen.add(id(node))
         for name in _cont_params(node):
-            val = np.asarray(getattr(node, name), _f32)
-            spec.append((node, name, val.shape))
+            # np.shape (not np.asarray(..).shape): attribute values are
+            # TRACERS while _bind_params is active — OpUnion's grouped
+            # scan calls param_spec inside the bound trace
+            spec.append((node, name, tuple(np.shape(getattr(node, name)))))
     return spec
 
 
@@ -78,7 +80,9 @@ def structural_hash(tree: Shader) -> bytes:
         for name in n.PARAMS:
             h.update(name.encode())
             if name in cont:
-                h.update(str(np.asarray(getattr(n, name), _f32).shape).encode())
+                # np.shape: tracer-safe (see param_spec); non-cont
+                # params are never bound so _param_bytes stays concrete
+                h.update(str(tuple(np.shape(getattr(n, name)))).encode())
             else:
                 h.update(_param_bytes(getattr(n, name)))
         for c in n.children():
@@ -88,12 +92,26 @@ def structural_hash(tree: Shader) -> bytes:
     return h.digest()
 
 
+_BIND_DEPTH = 0
+
+
+def binding_active() -> bool:
+    """True while _bind_params holds node attributes bound to tracers —
+    consulted by OpUnion's grouped scan to switch from value-hash
+    grouping (params are constants) to structure-hash grouping with
+    per-member param slices (params are operands and may be rebound
+    apart after compilation)."""
+    return _BIND_DEPTH > 0
+
+
 @contextlib.contextmanager
 def _bind_params(spec, flat):
     """Temporarily replace node attributes with slices of the traced flat
     vector; restore originals afterwards (tracing happens inside)."""
+    global _BIND_DEPTH
     saved = []
     offset = 0
+    _BIND_DEPTH += 1
     try:
         for node, name, shape in spec:
             n = int(np.prod(shape)) if shape else 1
@@ -104,6 +122,7 @@ def _bind_params(spec, flat):
             offset += n
         yield
     finally:
+        _BIND_DEPTH -= 1
         # reverse order: if a node were bound twice, the FIRST saved value
         # (the true original) wins
         for node, name, orig in reversed(saved):

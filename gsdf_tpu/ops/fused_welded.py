@@ -27,7 +27,7 @@ import numpy as np
 
 from . import mc_emit
 from .mc_tables import MC_EDGE_PAIRS, MC_TRI_COUNT, MC_TRI_TABLE
-from .marching_cubes import _CORNER_OFFSETS, _MC_EPS, _bucket
+from .marching_cubes import _MC_EPS, _bucket
 
 _f32 = np.float32
 
@@ -90,28 +90,21 @@ def build_welded_render(tree, shape, a_size, v_size, t_size, device, parametric=
         cj = (safe // nx) % ny
         ck = safe // (nx * ny)
 
-        # gather the 8 corner values + positions per active cube
-        gflat = grid.reshape(-1)
-        offs = jnp.asarray(_CORNER_OFFSETS)
-        gi = (
-            (ck[:, None] + offs[None, :, 2]) * (nj * ni)
-            + (cj[:, None] + offs[None, :, 1]) * ni
-            + (ci[:, None] + offs[None, :, 0])
-        )
-        v = gflat[gi]  # (A,8)
-        base = jnp.stack(
-            [
-                origin[0] + ci.astype(jnp.float32) * res,
-                origin[1] + cj.astype(jnp.float32) * res,
-                origin[2] + (ck.astype(jnp.float32) + k0) * res,
-            ],
-            axis=-1,
-        )
-        pc = base[:, None, :] + offs[None, :, :].astype(jnp.float32) * res
-
-        idx8 = jnp.zeros((A,), dtype=jnp.int32)
-        for b in range(8):
-            idx8 = idx8 | (jnp.int32(v[:, b] < 0.0) << b)
+        # gather the 8 corner values + positions per active cube via the
+        # shared mc_emit helpers (ONE corner-order/arithmetic source —
+        # the CLAUDE.md one-emit discipline; bit-identical to the
+        # previous inline forms: the base_lin distribution is exact
+        # integer arithmetic and corner_positions is the same f32 chain)
+        v = mc_emit.gather_corners(
+            grid.reshape(-1), (ck * nj + cj) * ni + ci, ni, nj * ni
+        )  # (A,8)
+        pc = mc_emit.corner_positions(
+            origin, res,
+            ci.astype(jnp.float32),
+            cj.astype(jnp.float32),
+            ck.astype(jnp.float32) + k0,
+        )  # (A,8,3)
+        idx8 = mc_emit.case_index([v[:, b] for b in range(8)])
         valid_cube = cube_id >= 0
 
         # --- vertices: the 3 owner (low) edges of each active cube -------
@@ -280,6 +273,15 @@ def welded_render(tree, origin, res, shape, device, size_hint=None, parametric=F
             i2 = (words[:, 1] >> 10) & 0x1FFFFF
             tri_idx = np.stack([i0, i1, i2], axis=-1).astype(np.int32)
             return verts, tri_idx, hint
+        if n_verts >= 1 << 21:
+            # the triangle wire format packs three indices into two i32
+            # words at 21 bits each; past 2^21 welded vertices the high
+            # bits would be silently dropped (wrong connectivity, no
+            # error) — fail cleanly like the DC path's edge-id guard
+            raise ValueError(
+                "mesh exceeds the welded path's 2^21-vertex wire format; "
+                "use render_compact (32-bit vertex ids)"
+            )
         if n_active > a_size:
             a_size = _bucket(n_active, granule=16384)
         if n_verts > v_size:

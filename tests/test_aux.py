@@ -90,6 +90,17 @@ def test_block_cached_sdf3():
     np.testing.assert_allclose(d1, d2, atol=0.1 * np.sqrt(3))
     assert cached.cache_hits() >= 256
     assert cached.evaluations() == 512
+    # coordinates outside the 21-bit-per-axis key space (here: a point
+    # far more than 2^20 voxels below bb.min) bypass the cache — the
+    # packed key would bleed into the neighboring axis field and could
+    # COLLIDE with a legitimate voxel, returning a wrong cached value
+    far = np.array([[-200000.0, 0.0, 0.0]], np.float32)
+    hits0 = cached.cache_hits()
+    df1 = cached.evaluate(far)
+    df2 = cached.evaluate(far)  # NOT a hit: never stored, re-evaluated
+    np.testing.assert_allclose(df1, df2)
+    np.testing.assert_allclose(df1[0], 200000.0 - 1.0, rtol=1e-5)
+    assert cached.cache_hits() == hits0
 
 
 def test_cached_exact_sdf3():

@@ -133,3 +133,77 @@ def test_parametric_render_no_recompile():
         assert 0.68 < r < 0.72
     finally:
         object.__setattr__(sph, "r", _np.float32(0.5))
+
+
+def test_parametric_scan_group_member_edit():
+    """Regression (CONFIRMED bug): equal-valued Translate subtrees are
+    scan-grouped; under the parametric executable the grouping must be
+    value-BLIND with each member's subtree params riding the scan, so a
+    post-compile rebind of ONE member is honored (previously the
+    executable evaluated nodes[0]'s params for the whole group and the
+    edit was silently ignored)."""
+    spheres = [bld.new_sphere(1.0) for _ in range(4)]
+    tree = bld.union(
+        *[
+            bld.translate(s, 4.0 * i, 0.0, 0.0)
+            for i, s in enumerate(spheres)
+        ]
+    )
+    psdf = ParametricSDF3(tree, CPU)
+    pts = np.array(
+        [[4.0 * i, 0.0, 1.5] for i in range(4)], np.float32
+    )
+    _close(psdf.evaluate(pts), new_cpu_sdf3(tree).evaluate(pts))
+    tree.rebind({spheres[1]: {"r": 2.0}})
+    oracle = new_cpu_sdf3(tree).evaluate(pts)
+    assert oracle[1] < 0  # inside the edited sphere
+    _close(psdf.evaluate(pts), oracle)
+    # a structurally-identical tree with per-member DIFFERENT radii must
+    # also evaluate correctly through the same executable
+    spheres2 = [bld.new_sphere(0.5 + 0.3 * i) for i in range(4)]
+    tree2 = bld.union(
+        *[
+            bld.translate(s, 4.0 * i, 0.0, 0.0)
+            for i, s in enumerate(spheres2)
+        ]
+    )
+    assert structural_hash(tree2) == structural_hash(tree)
+    _close(psdf.evaluate(pts, tree2), new_cpu_sdf3(tree2).evaluate(pts))
+
+
+def test_rebind_transform_rederives_inverse():
+    """Regression (CONFIRMED bug): rebind({transform: {"t": M}}) must
+    recompute the derived inverse — distance() uses ONLY t_inv, so a
+    stale inverse made geometry silently disagree with bounds()."""
+    import math as _math
+
+    box = bld.new_box(1.0, 0.4, 0.2, 0.0)
+    rot1 = bld.rotate(box, 0.3, (0, 0, 1))
+    node = rot1  # the Transform node
+    pts = np.random.default_rng(5).uniform(-1.2, 1.2, (256, 3)).astype(
+        np.float32
+    )
+    # rebind to a different rotation and compare against a fresh build
+    from gsdf_tpu.core.ops3 import Transform
+
+    assert isinstance(node, Transform)
+    fresh = bld.rotate(bld.new_box(1.0, 0.4, 0.2, 0.0), 1.1, (0, 0, 1))
+    node.rebind({node: {"t": fresh.t}})
+    _close(
+        new_cpu_sdf3(node).evaluate(pts), new_cpu_sdf3(fresh).evaluate(pts)
+    )
+    np.testing.assert_allclose(
+        node.bounds().min, fresh.bounds().min, atol=1e-6
+    )
+    # 2D rotation: same derived-inverse contract
+    from gsdf_tpu.core.ops2 import Rotation2D
+
+    c2 = bld.new_rectangle(1.0, 0.3)
+    r2 = bld.rotate2d(c2, 0.4)
+    assert isinstance(r2, Rotation2D)
+    fresh2 = bld.rotate2d(bld.new_rectangle(1.0, 0.3), 1.2)
+    r2.rebind({r2: {"t": fresh2.t}})
+    pts2 = np.random.default_rng(6).uniform(-1, 1, (256, 2)).astype(
+        np.float32
+    )
+    _close(new_sdf2(r2).evaluate(pts2), new_sdf2(fresh2).evaluate(pts2))
