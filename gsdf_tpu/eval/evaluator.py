@@ -143,21 +143,28 @@ def new_sdf2(s: Shader2D, device=None) -> SDF2:
 _grid_cache: dict = {}
 
 
-def grid_eval_fn(tree: Shader3D, shape: tuple, device):
+def grid_eval_fn(tree: Shader3D, shape: tuple, device, with_k0: bool = False):
     """Compiled dense-grid evaluator: (origin, res) -> (nk,nj,ni) distances,
     where grid[k,j,i] = d(origin + (i*res, j*res, k*res)) — z is the slowest
     (outermost) axis, x the contiguous lane axis.
 
     Positions are synthesized on device via broadcasted iota; XLA fuses
     synthesis into the SDF arithmetic so no position array ever exists in HBM.
-    """
-    key = (tree.tree_hash(), shape, device)
+
+    with_k0=True compiles a traced global z-layer offset operand: slab
+    chunking must compute iz = (iota + k0) so slab positions stay
+    BIT-IDENTICAL to the whole-grid eval — shifting the origin instead
+    ((origin + k*res) + i*res vs origin + (k+i)*res) drifts ~1/3 of
+    coordinates by 1 ulp (the fused_render/sharded k0 discipline)."""
+    key = (tree.tree_hash(), shape, device, bool(with_k0))
     fn = _grid_cache.get(key)
     if fn is None:
         nk, nj, ni = shape
 
-        def impl(origin, res):
+        def impl(origin, res, k0=None):
             iz = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 0)
+            if k0 is not None:
+                iz = iz + k0
             iy = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 1)
             ix = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 2)
             p = jnp.stack(
@@ -170,11 +177,21 @@ def grid_eval_fn(tree: Shader3D, shape: tuple, device):
             )
             return tree.distance(p)
 
-        jitted = jax.jit(impl)
+        if with_k0:
+            jitted = jax.jit(impl)
 
-        def fn(origin, res, _jitted=jitted, _dev=device):
-            with jax.default_device(_dev):
-                return _jitted(jax.device_put(origin, _dev), res)
+            def fn(origin, res, k0, _jitted=jitted, _dev=device):
+                with jax.default_device(_dev):
+                    return _jitted(
+                        jax.device_put(origin, _dev), res, _f32(k0)
+                    )
+
+        else:
+            jitted = jax.jit(lambda origin, res: impl(origin, res))
+
+            def fn(origin, res, _jitted=jitted, _dev=device):
+                with jax.default_device(_dev):
+                    return _jitted(jax.device_put(origin, _dev), res)
 
         _grid_cache[key] = fn
     return fn
@@ -186,12 +203,18 @@ def evaluate_grid(
     res: float,
     shape: tuple,
     device=None,
+    k0=None,
 ):
     """Evaluate the SDF over a dense corner grid, returning a device array
-    of shape (nk,nj,ni): grid[k,j,i] = d(origin + (i,j,k)*res)."""
+    of shape (nk,nj,ni): grid[k,j,i] = d(origin + (i,j,k0+k)*res). k0 is
+    the global z-layer offset for slab chunking (see grid_eval_fn)."""
     device = device if device is not None else jax.devices()[0]
-    fn = grid_eval_fn(tree, tuple(int(x) for x in shape), device)
+    shape = tuple(int(x) for x in shape)
     origin = jnp.asarray(np.asarray(origin, _f32))
+    if k0 is not None:
+        fn = grid_eval_fn(tree, shape, device, with_k0=True)
+        return fn(origin, _f32(res), k0)
+    fn = grid_eval_fn(tree, shape, device)
     return fn(origin, _f32(res))
 
 

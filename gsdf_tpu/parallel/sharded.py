@@ -87,7 +87,9 @@ def sharded_render_step(tree: Shader3D, mesh: Mesh, shape, max_tris_per_shard: i
     Returns a jitted fn (origin, res) -> (tris (n_dev, max_tris, 3, 3),
     counts (n_dev,)) where counts[d] is the number of valid triangles from
     shard d. Triangles of shard d are in reference cube order within the
-    shard, so concatenation preserves global order.
+    shard, so concatenation preserves global order. Steps are cached per
+    (tree, shape, M, mesh) like the compact/DC steps — a fresh jit per
+    call would re-pay the full mesh compile on every render.
     """
     from ..ops.mc_emit import dense_grid_mc
 
@@ -97,6 +99,10 @@ def sharded_render_step(tree: Shader3D, mesh: Mesh, shape, max_tris_per_shard: i
         raise ValueError(f"slab axis {nk} not divisible by {n_dev} devices")
     nk_local = nk // n_dev
     M = int(max_tris_per_shard)
+    key = ("soup", tree.tree_hash(), (nk, nj, ni), M, mesh)
+    cached = _step_cache.get(key)
+    if cached is not None:
+        return cached
 
     @functools.partial(
         shard_map,
@@ -126,7 +132,9 @@ def sharded_render_step(tree: Shader3D, mesh: Mesh, shape, max_tris_per_shard: i
         )
         return tris[None], total[None], n_act[None]
 
-    return jax.jit(step)
+    jitted = jax.jit(step)
+    _step_cache[key] = jitted
+    return jitted
 
 
 _step_cache: dict = {}

@@ -84,15 +84,22 @@ class FlatRenderer:
             return ev.evaluate_grid(
                 self.s, self.origin, self.res, (nk, nj, ni), self.device
             )
-        # z-slab chunking: each slab is one fused eval; concatenate on device.
+        # z-slab chunking: each slab is one fused eval; concatenate on
+        # device. The slab's GLOBAL layer offset is a traced k0 operand
+        # so positions compute as origin + (k0+i)*res — bit-identical to
+        # the whole-grid eval (an origin shift, (origin+k*res)+i*res,
+        # drifts ~1/3 of coordinates by 1 ulp; the slabbed-path
+        # bit-exactness hard rule).
         slab_k = max(1, self.max_slab_points // plane)
         slabs = []
         k = 0
         while k < nk:
             kk = min(slab_k, nk - k)
-            origin_k = self.origin + np.array([0, 0, k], _f32) * self.res
             slabs.append(
-                ev.evaluate_grid(self.s, origin_k, self.res, (kk, nj, ni), self.device)
+                ev.evaluate_grid(
+                    self.s, self.origin, self.res, (kk, nj, ni),
+                    self.device, k0=_f32(k),
+                )
             )
             k += kk
         return jnp.concatenate(slabs, axis=0)

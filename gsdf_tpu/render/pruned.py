@@ -98,6 +98,30 @@ def _coarse_fn(tree, shape, device, parametric=False):
     return fn
 
 
+def _tile_grid(tree, tile_ijk, origin, res, S):
+    """The ONE tile position-synthesis + eval shared by both pruned
+    kernels (soup _tile_mc_fn and compact _tile_compact_fn), so their
+    grid values can never drift apart (the pinned pruned-vs-dense
+    parity depends on it). tile_ijk (T,3) [i,j,k] tile coords, negative
+    = padding rows (evaluated at tile 0, masked by callers). Returns
+    (T,S+1,S+1,S+1) corner distances, [k,j,i] within each tile."""
+    P = S + 1
+    T = tile_ijk.shape[0]
+    base = jnp.maximum(tile_ijk, 0).astype(jnp.float32) * _f32(S)
+    iz = jax.lax.broadcasted_iota(jnp.float32, (T, P, P, P), 1)
+    iy = jax.lax.broadcasted_iota(jnp.float32, (T, P, P, P), 2)
+    ix = jax.lax.broadcasted_iota(jnp.float32, (T, P, P, P), 3)
+    p = jnp.stack(
+        [
+            origin[0] + (base[:, 0, None, None, None] + ix) * res,
+            origin[1] + (base[:, 1, None, None, None] + iy) * res,
+            origin[2] + (base[:, 2, None, None, None] + iz) * res,
+        ],
+        axis=-1,
+    )
+    return tree.distance(p)
+
+
 def _tile_mc_fn(tree, S, n_tiles, a_size, t_size, device):
     """Batched per-tile corner eval + marching cubes.
 
@@ -114,22 +138,7 @@ def _tile_mc_fn(tree, S, n_tiles, a_size, t_size, device):
         P = S + 1  # corner planes per tile
 
         def impl(tile_ijk, origin, res):
-            T = tile_ijk.shape[0]
-            safe_t = jnp.maximum(tile_ijk, 0)  # (T,3) [i,j,k] tile coords
-            base = safe_t.astype(jnp.float32) * _f32(S)  # corner-index offset
-            iz = jax.lax.broadcasted_iota(jnp.float32, (T, P, P, P), 1)
-            iy = jax.lax.broadcasted_iota(jnp.float32, (T, P, P, P), 2)
-            ix = jax.lax.broadcasted_iota(jnp.float32, (T, P, P, P), 3)
-            p = jnp.stack(
-                [
-                    origin[0] + (base[:, 0, None, None, None] + ix) * res,
-                    origin[1] + (base[:, 1, None, None, None] + iy) * res,
-                    origin[2] + (base[:, 2, None, None, None] + iz) * res,
-                ],
-                axis=-1,
-            )
-            grid = tree.distance(p)  # (T,P,P,P) [k,j,i] within tile
-
+            grid = _tile_grid(tree, tile_ijk, origin, res, S)
             valid_tile = (tile_ijk[:, 0] >= 0)[:, None, None, None]
             index, active = mc_emit.classify(grid, res, extra_mask=valid_tile)
             n_active = jnp.sum(active.astype(jnp.int32))
@@ -146,7 +155,10 @@ def _tile_mc_fn(tree, S, n_tiles, a_size, t_size, device):
             # gather the 8 corner values from the tile grid atlas
             base_lin = ct * (P * P * P) + ck * (P * P) + cj * P + ci
             v = mc_emit.gather_corners(grid.reshape(-1), base_lin, P, P * P)
-            tb = base[ct]  # (A,3) tile corner-index offsets [i,j,k]
+            # tile corner-index offsets [i,j,k] (same formula as
+            # _tile_grid's position synthesis)
+            base = jnp.maximum(tile_ijk, 0).astype(jnp.float32) * _f32(S)
+            tb = base[ct]  # (A,3)
             pc = mc_emit.corner_positions(
                 origin,
                 res,
@@ -194,23 +206,8 @@ def _tile_compact_fn(tree, S, n_tiles, a_size, v_size, dims, device, parametric=
     if fn is None:
         from ..ops.compact_field import tile_compact_emit
 
-        P = S + 1
-
         def impl(tile_ijk, origin, res):
-            T = tile_ijk.shape[0]
-            base = jnp.maximum(tile_ijk, 0).astype(jnp.float32) * _f32(S)
-            iz = jax.lax.broadcasted_iota(jnp.float32, (T, P, P, P), 1)
-            iy = jax.lax.broadcasted_iota(jnp.float32, (T, P, P, P), 2)
-            ix = jax.lax.broadcasted_iota(jnp.float32, (T, P, P, P), 3)
-            p = jnp.stack(
-                [
-                    origin[0] + (base[:, 0, None, None, None] + ix) * res,
-                    origin[1] + (base[:, 1, None, None, None] + iy) * res,
-                    origin[2] + (base[:, 2, None, None, None] + iz) * res,
-                ],
-                axis=-1,
-            )
-            grid = tree.distance(p)  # (T,P,P,P) [k,j,i] within tile
+            grid = _tile_grid(tree, tile_ijk, origin, res, S)
             return tile_compact_emit(grid, tile_ijk, dims, res, a_size, v_size)
 
         if parametric:
@@ -294,8 +291,12 @@ class PrunedRenderer:
     def _prune(self, parametric=False, params=None):
         shape = (self.tz, self.ty, self.tx)
         fn = _coarse_fn(self.s, shape, self.device, parametric=parametric)
+        # numpy operands pass straight through: the kernel wrappers
+        # device_put onto THEIR device; jnp.asarray here would first
+        # commit to the process default device (the _replicated hazard,
+        # parallel/sharded.py) — a wasted tunnel round trip per call
         keep, n_keep = fn(
-            jnp.asarray(self.origin), self.res, float(self.S), params=params
+            self.origin, self.res, float(self.S), params=params
         )
         self._evaluations += self.tx * self.ty * self.tz
         keep = np.asarray(keep)
@@ -337,7 +338,7 @@ class PrunedRenderer:
             while True:
                 fn = _tile_mc_fn(self.s, self.S, nb, a_size, t_size, self.device)
                 out, n_active, total = fn(
-                    jnp.asarray(batch), jnp.asarray(self.origin), self.res
+                    batch, self.origin, self.res
                 )
                 n_active = int(n_active)
                 total = int(total)
@@ -385,7 +386,7 @@ class PrunedRenderer:
         if parametric:
             from ..eval.parametric import pack_params, structural_hash
 
-            params = jnp.asarray(pack_params(self.s))
+            params = pack_params(self.s)
             hkey = ("chints-param", structural_hash(self.s), float(self.res))
         else:
             params = None
@@ -415,10 +416,7 @@ class PrunedRenderer:
                     parametric=parametric,
                 )
                 packed = np.asarray(
-                    fn(
-                        jnp.asarray(batch), jnp.asarray(self.origin), self.res,
-                        params=params,
-                    )
+                    fn(batch, self.origin, self.res, params=params)
                 )
                 ids, cs, tv, (n_active, n_verts) = unpack_compact_payload_full_ids(
                     packed, a_size

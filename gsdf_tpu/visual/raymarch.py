@@ -71,7 +71,15 @@ def _raymarch_fn(
         cp, sp = jnp.cos(pitch), jnp.sin(pitch)
         ro = cam_pos * jnp.stack([cy * cp, sy * cp, sp])
         ww = -ro / jnp.sqrt(jnp.sum(ro * ro))
-        up = jnp.asarray(np.array([0, 0, 1], _f32))
+        # at pitch -> +-pi/2 the +z up is parallel to ww (cross = 0,
+        # normalize = NaN over the whole frame): fall back to +x up for
+        # straight-down/up views. The viewer clamps pitch to +-1.45
+        # (|sin| < 0.993) so this select never fires there.
+        up = jnp.where(
+            jnp.abs(sp) > 0.999,
+            jnp.asarray(np.array([1, 0, 0], _f32)),
+            jnp.asarray(np.array([0, 0, 1], _f32)),
+        )
         uu = jnp.cross(ww, up)
         uu = uu / jnp.sqrt(jnp.sum(uu * uu))
         vv = jnp.cross(uu, ww)
@@ -87,7 +95,11 @@ def _raymarch_fn(
             hit = jnp.abs(d) < 1e-4
             newly = hit & ~done
             t = jnp.where(done | newly, t, t + d * np.float32(relax))
-            return t, done | newly | (t > 8.0)
+            # far plane follows the (traced) camera distance: the scene
+            # is normalized to radius <= sqrt(3), so any surface point
+            # lies within cam_pos + sqrt(3) along a ray — a fixed far
+            # plane would silently render pure sky for cam_dist > ~6
+            return t, done | newly | (t > cam_pos + 4.0)
 
         t0 = jnp.zeros((rh, rw), jnp.float32)
         done0 = jnp.zeros((rh, rw), bool)

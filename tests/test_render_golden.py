@@ -68,3 +68,24 @@ def test_stl_validation():
     buf.seek(0)
     back = read_binary_stl(buf, validate=True)
     assert len(back) == len(tris)
+
+
+def test_staged_slab_chunking_bitexact():
+    """Regression (CONFIRMED 1-ulp drift): the staged path's z-slab
+    chunking must pass the slab's GLOBAL layer offset as a traced k0
+    (positions = origin + (k0+i)*res) — shifting the origin per slab
+    ((origin + k*res) + i*res) drifted ~1/3 of coordinates by 1 ulp, so
+    triangle output depended on max_slab_points, violating the
+    slabbed-path bit-exactness hard rule."""
+    bld2 = Builder()
+    s = bld2.difference(
+        bld2.smooth_union(
+            0.1, bld2.new_sphere(0.73), bld2.new_box(1.1, 0.9, 0.53, 0.05)
+        ),
+        bld2.new_cylinder(0.21, 3.0, 0.0),
+    )
+    res = 0.047  # deliberately non-dyadic: exercises rounding
+    whole = FlatRenderer(s, res).render(fused=False)
+    fr = FlatRenderer(s, res, max_slab_points=0)  # 1-plane slabs
+    chunked = fr.render(fused=False)
+    np.testing.assert_array_equal(chunked, whole)
