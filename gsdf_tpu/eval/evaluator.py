@@ -319,7 +319,7 @@ class BlockCachedSDF3:
 
 class CachedExactSDF3:
     """Exact-position memo cache: hits only on bit-identical (x,y,z)
-    float32 positions (reference cachedExactSDF3, gleval/gleval.go:220-260
+    float32 positions (reference cachedExactSDF3, gleval/gleval.go:220-292
     — keys are Float32bits of each coordinate). Debug/analysis tool for
     measuring how often a renderer re-evaluates the same point; unlike
     BlockCachedSDF3 a hit is always numerically exact, never quantized.
@@ -364,25 +364,22 @@ class CachedExactSDF3:
         else:
             hit = np.zeros(len(pos), bool)
         miss = ~hit
-        n_new = 0
-        if miss.any():
+        n_miss = int(miss.sum())
+        if n_miss:
             pm = packed[miss]
-            # reference semantics are sequential (gleval.go:244-252): the
-            # FIRST occurrence of a new position evaluates and stores, and
-            # every later duplicate IN THE SAME BATCH hits the map — so
-            # evaluate once per unique new key and count the rest as hits
-            # (shared voxel corners within one dispatch are exactly the
-            # re-evaluation pattern this tool measures)
-            uk, first_idx, inv = np.unique(
-                pm, return_index=True, return_inverse=True
-            )
-            d_new = np.asarray(self.sdf.evaluate(pos[miss][first_idx]), _f32)
-            dist[miss] = d_new[inv]
-            n_new = len(uk)
+            # the reference does a FULL lookup pass over the batch before
+            # evaluating any miss (gleval.go:241-266), so in-batch
+            # duplicates of a new position are ALL misses: every duplicate
+            # row is re-evaluated and the last store wins
+            # (gleval.go:268-287). hits += len(pos) - len(seekPos).
+            d_new = np.asarray(self.sdf.evaluate(pos[miss]), _f32)
+            dist[miss] = d_new
+            rev_first = np.unique(pm[::-1], return_index=True)[1]
+            uk, uv = pm[::-1][rev_first], d_new[::-1][rev_first]
             keys = np.concatenate([self._keys, uk])
-            vals = np.concatenate([self._vals, d_new])
+            vals = np.concatenate([self._vals, uv])
             order = np.argsort(keys, kind="stable")
             self._keys, self._vals = keys[order], vals[order]
         self._evals += len(pos)
-        self._hits += len(pos) - n_new
+        self._hits += len(pos) - n_miss
         return dist

@@ -22,6 +22,7 @@ Usage:
 from __future__ import annotations
 
 import contextlib
+import threading
 from typing import List, Tuple
 
 import jax
@@ -92,7 +93,7 @@ def structural_hash(tree: Shader) -> bytes:
     return h.digest()
 
 
-_BIND_DEPTH = 0
+_BIND_STATE = threading.local()
 
 
 def binding_active() -> bool:
@@ -100,18 +101,18 @@ def binding_active() -> bool:
     consulted by OpUnion's grouped scan to switch from value-hash
     grouping (params are constants) to structure-hash grouping with
     per-member param slices (params are operands and may be rebound
-    apart after compilation)."""
-    return _BIND_DEPTH > 0
+    apart after compilation). Thread-local: a trace in one thread must
+    not flip the grouping decision of a concurrent unbound trace."""
+    return getattr(_BIND_STATE, "depth", 0) > 0
 
 
 @contextlib.contextmanager
 def _bind_params(spec, flat):
     """Temporarily replace node attributes with slices of the traced flat
     vector; restore originals afterwards (tracing happens inside)."""
-    global _BIND_DEPTH
     saved = []
     offset = 0
-    _BIND_DEPTH += 1
+    _BIND_STATE.depth = getattr(_BIND_STATE, "depth", 0) + 1
     try:
         for node, name, shape in spec:
             n = int(np.prod(shape)) if shape else 1
@@ -122,7 +123,7 @@ def _bind_params(spec, flat):
             offset += n
         yield
     finally:
-        _BIND_DEPTH -= 1
+        _BIND_STATE.depth -= 1
         # reverse order: if a node were bound twice, the FIRST saved value
         # (the true original) wins
         for node, name, orig in reversed(saved):

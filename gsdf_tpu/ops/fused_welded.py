@@ -250,6 +250,17 @@ def welded_render(tree, origin, res, shape, device, size_hint=None, parametric=F
         else:
             packed = np.asarray(fn(jnp.asarray(origin), _f32(res)))
         n_active, n_verts, total = (int(x) for x in packed[:3].view(np.int32))
+        if n_verts >= 1 << 21:
+            # the triangle wire format packs three indices into two i32
+            # words at 21 bits each; past 2^21 welded vertices the high
+            # bits would be silently dropped (wrong connectivity, no
+            # error). Checked BEFORE the success branch: a large initial
+            # estimate can fit >=2^21 vertices on the first dispatch, and
+            # that mesh is just as corrupt as one reached via grow-retry.
+            raise ValueError(
+                "mesh exceeds the welded path's 2^21-vertex wire format; "
+                "use render_compact (32-bit vertex ids)"
+            )
         ok = n_active <= a_size and n_verts <= v_size and total <= t_size
         if ok:
             # fine granularity: emit cost and payload scale with these
@@ -273,15 +284,6 @@ def welded_render(tree, origin, res, shape, device, size_hint=None, parametric=F
             i2 = (words[:, 1] >> 10) & 0x1FFFFF
             tri_idx = np.stack([i0, i1, i2], axis=-1).astype(np.int32)
             return verts, tri_idx, hint
-        if n_verts >= 1 << 21:
-            # the triangle wire format packs three indices into two i32
-            # words at 21 bits each; past 2^21 welded vertices the high
-            # bits would be silently dropped (wrong connectivity, no
-            # error) — fail cleanly like the DC path's edge-id guard
-            raise ValueError(
-                "mesh exceeds the welded path's 2^21-vertex wire format; "
-                "use render_compact (32-bit vertex ids)"
-            )
         if n_active > a_size:
             a_size = _bucket(n_active, granule=16384)
         if n_verts > v_size:

@@ -132,7 +132,16 @@ def compact_indices(mask_flat, size, method: str = "sort"):
     method="scatter": cumsum destinations + drop-mode scatter; measured
     between the two (input-size-bound, serialized scatter)."""
     n = mask_flat.shape[0]
-    if (method == "searchsorted" or n >= (1 << 30)) and n < (1 << 31):
+    if n >= (1 << 31):
+        # every strategy here indexes with int32 (sort keys, cumsum,
+        # scatter destinations); past 2^31 entries all of them silently
+        # overflow — and the hierarchical branch would mutually recurse
+        # with compact_indices_blocks forever. Fail loudly instead.
+        raise ValueError(
+            f"compact_indices: mask of {n} entries exceeds int32 "
+            "addressing (2^31); split the grid into slabs first"
+        )
+    if method == "searchsorted" or n >= (1 << 30):
         csum = jnp.cumsum(mask_flat.astype(jnp.int32))
         n_active = csum[-1]
         slots = jnp.arange(1, size + 1, dtype=jnp.int32)

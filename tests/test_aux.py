@@ -105,7 +105,7 @@ def test_block_cached_sdf3():
 
 def test_cached_exact_sdf3():
     """Exact-position cache (reference cachedExactSDF3,
-    gleval/gleval.go:220-260): a hit requires bit-identical coordinates
+    gleval/gleval.go:220-292): a hit requires bit-identical coordinates
     and returns the exact previous value; nearby-but-different points
     miss (unlike the voxel-quantized BlockCachedSDF3)."""
     from gsdf_tpu.eval import CachedExactSDF3
@@ -124,21 +124,24 @@ def test_cached_exact_sdf3():
     nudged[:, 0] = np.nextafter(nudged[:, 0], np.float32(np.inf))
     cached.evaluate(nudged)
     assert cached.cache_hits() == 256
-    # duplicate rows within one batch: reference semantics are SEQUENTIAL
-    # (gleval.go:244-252) — the first occurrence of a new position
-    # evaluates and stores, later duplicates in the same batch HIT the
-    # map (shared voxel corners within one dispatch are exactly the
-    # re-evaluation pattern this tool measures)
+    # duplicate rows within one batch: the reference does a FULL lookup
+    # pass before evaluating any miss (gleval.go:241-266), so in-batch
+    # duplicates of a NEW position are ALL misses — every duplicate row
+    # re-evaluates, hits += len(pos) - len(seekPos) (gleval.go:287)
     dup = np.repeat(pts[:4], 3, axis=0)  # already cached: all 12 hit
     hits0 = cached.cache_hits()
     np.testing.assert_array_equal(cached.evaluate(dup), np.repeat(d1[:4], 3))
     assert cached.cache_hits() == hits0 + 12
     fresh = np.random.default_rng(3).uniform(2, 3, (4, 3)).astype(np.float32)
-    dupf = np.repeat(fresh, 3, axis=0)  # 12 rows, 4 new positions
+    dupf = np.repeat(fresh, 3, axis=0)  # 12 rows, 4 new positions: 0 hits
     hits0 = cached.cache_hits()
     df = cached.evaluate(dupf)
     np.testing.assert_array_equal(df, np.repeat(df[::3], 3))
-    assert cached.cache_hits() == hits0 + 8  # 12 - 4 unique misses
+    assert cached.cache_hits() == hits0
+    # ... and a second pass over the same rows is now all hits
+    hits0 = cached.cache_hits()
+    np.testing.assert_array_equal(cached.evaluate(dupf), df)
+    assert cached.cache_hits() == hits0 + 12
     np.testing.assert_array_equal(cached.bounds().min, sdf.bounds().min)
     np.testing.assert_array_equal(cached.bounds().max, sdf.bounds().max)
 
