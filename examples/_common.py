@@ -1,10 +1,14 @@
 """Shared example CLI: the -gpu/-res/-resdiv flag convention of the
 reference examples (e.g. examples/npt-flange/flange.go:63-70)."""
 import argparse
-import sys
-from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+try:  # installed package (pip install -e .) needs no path games
+    import gsdf_tpu  # noqa: F401
+except ImportError:  # uninstalled checkout: repo root is examples/..
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def example_args(resdiv_default=200, **extra):

@@ -1,25 +1,13 @@
-"""M3 ISO bolt with hex head (reference examples/bolt/main.go:27-40)."""
-import math
-
+"""M3 ISO bolt with hex head (reference examples/bolt/main.go:27-40).
+Scene lives in gsdf_tpu.flagships; this is the CLI wrapper."""
 from _common import example_args, render_stl
 
 from gsdf_tpu import Builder
-from gsdf_tpu.forge import threads
+from gsdf_tpu.flagships import bolt_scene
 
 
 def scene(bld: Builder):
-    L, shank = 8, 3
-    threader = threads.ISO(d=3, p=0.5, ext=True)
-    m3 = threads.bolt(
-        bld,
-        threads.BoltParams(
-            thread=threader,
-            style=threads.NutStyle.HEX,
-            total_length=L + shank,
-            shank_length=shank,
-        ),
-    )
-    m3 = bld.rotate(m3, 2.5 * math.pi / 2, (1, 0, 0.1))
+    m3 = bolt_scene(bld)
     err = bld.err()
     if err:
         raise err

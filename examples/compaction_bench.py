@@ -5,12 +5,11 @@ at production grid sizes, plus the end-to-end effect on the flange
 compact render. Run with the chip idle; checksum-forced timings.
 """
 import statistics
-import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+import _common  # noqa: F401  (ensures gsdf_tpu importable)
 
 
 def med_ms(fn, repeats=7):
@@ -57,7 +56,7 @@ def main():
             ms = med_ms(lambda: int(f(mask_d)))
             print(f"n={n:>11,} size={size:>8,} {method:>13}: {ms:7.2f} ms")
 
-    from bench import build_flange
+    from gsdf_tpu.flagships import build_flange
     from gsdf_tpu.render.flat import FlatRenderer
 
     tree = build_flange()

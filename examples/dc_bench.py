@@ -13,12 +13,9 @@ mesh (parallel/sharded_dc.py): times the sharded render and verifies it
 is bit-identical to the single-device result.
 """
 import statistics
-import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
-
-from _common import example_args  # noqa: F401  (sets examples/ on path)
+from _common import example_args  # noqa: F401  (ensures gsdf_tpu importable)
 
 
 def med_ms(fn, repeats=7):

@@ -15,13 +15,12 @@ Run on the real chip: python examples/prune_scale.py [resdiv ...]
 """
 import json
 import statistics
-import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
-from bench import build_flange  # noqa: E402
+import _common  # noqa: F401  (ensures gsdf_tpu importable)
+from gsdf_tpu.flagships import build_flange
 
 
 def time_med(fn, repeats=3, label=""):

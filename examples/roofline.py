@@ -24,13 +24,12 @@ reported pure-device estimate).
 """
 import json
 import statistics
-import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
-from bench import build_flange  # noqa: E402
+import _common  # noqa: F401  (ensures gsdf_tpu importable)
+from gsdf_tpu.flagships import build_flange
 
 _f32 = np.float32
 

@@ -21,7 +21,7 @@ GOLDEN_SHOWERHEAD = 309872  # fibonacci-showerhead resdiv 350 (README.md:152)
 
 @pytest.mark.slow
 def test_flange_golden_count():
-    from bench import build_flange
+    from gsdf_tpu.flagships import build_flange
 
     obj = build_flange()
     res = obj.bounds().diagonal() / 400
@@ -36,17 +36,9 @@ def test_flange_golden_count():
 
 @pytest.mark.slow
 def test_showerhead_golden_count():
-    import os
-    import sys
+    from gsdf_tpu.flagships import build_showerhead
 
-    sys.path.insert(
-        0, os.path.join(os.path.dirname(__file__), "..", "examples")
-    )
-    from fibonacci_showerhead import scene
-
-    from gsdf_tpu import Builder
-
-    obj = scene(Builder())
+    obj = build_showerhead()
     res = obj.bounds().diagonal() / 350
     fr = FlatRenderer(obj, res)
     verts, tri_idx = fr.render_compact()
@@ -63,7 +55,7 @@ def test_flange_sharded_golden():
     glrender/glrender_test.go:83-102, applied to the scale-out path)."""
     import jax
 
-    from bench import build_flange
+    from gsdf_tpu.flagships import build_flange
     from gsdf_tpu.parallel.sharded import make_mesh, render_sharded_compact
 
     obj = build_flange()
@@ -80,20 +72,12 @@ def test_flange_sharded_golden():
 def test_showerhead_sharded_golden():
     """Second flagship part sharded: golden count + connectivity parity
     (deep tree: 130-hole fibonacci union + buttress screw + knurl)."""
-    import os
-    import sys
-
     import jax
 
-    sys.path.insert(
-        0, os.path.join(os.path.dirname(__file__), "..", "examples")
-    )
-    from fibonacci_showerhead import scene
-
-    from gsdf_tpu import Builder
+    from gsdf_tpu.flagships import build_showerhead
     from gsdf_tpu.parallel.sharded import make_mesh, render_sharded_compact
 
-    obj = scene(Builder())
+    obj = build_showerhead()
     res = obj.bounds().diagonal() / 350
     mesh = make_mesh(jax.devices("cpu")[:8])
     sv, st = render_sharded_compact(obj, mesh, res)
