@@ -225,8 +225,20 @@ class Rotation2D(Shader2D):
         )
 
     def distance(self, p):
-        rot = jnp.asarray(self.t_inv)
-        return self.s.distance(p @ rot.T)
+        # elementwise mul-adds, not `p @ rot.T` — see
+        # ops3.Transform.distance: TPU matmuls default to bfloat16
+        # inputs on the MXU; expanded products stay f32 on the VPU
+        rot = self.t_inv
+        x, y = p[..., 0], p[..., 1]
+        return self.s.distance(
+            jnp.stack(
+                [
+                    x * rot[0, 0] + y * rot[0, 1],
+                    x * rot[1, 0] + y * rot[1, 1],
+                ],
+                axis=-1,
+            )
+        )
 
     def bounds(self) -> Box:
         bb = self.s.bounds()

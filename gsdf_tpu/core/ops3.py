@@ -323,9 +323,24 @@ class Transform(Shader3D):
         )
 
     def distance(self, p):
-        rot = jnp.asarray(self.t_inv[:3, :3])
-        trans = jnp.asarray(self.t_inv[:3, 3])
-        q = p @ rot.T + trans
+        # elementwise mul-adds, NOT `p @ rot.T`: a (N,3)x(3,3) dot is
+        # dispatched to the TPU MXU, whose default matmul precision
+        # truncates inputs to bfloat16 — measured 0.036 absolute
+        # deviation vs the CPU oracle on the bolt scene (0.4 voxels at
+        # resdiv 256), the single source of cross-backend sign flips.
+        # Expanded products stay on the VPU in full f32 (and skip the
+        # ~10x MXU padding waste of a 3-wide matmul).
+        rot = self.t_inv[:3, :3]
+        trans = self.t_inv[:3, 3]
+        x, y, z = p[..., 0], p[..., 1], p[..., 2]
+        q = jnp.stack(
+            [
+                x * rot[0, 0] + y * rot[0, 1] + z * rot[0, 2] + trans[0],
+                x * rot[1, 0] + y * rot[1, 1] + z * rot[1, 2] + trans[1],
+                x * rot[2, 0] + y * rot[2, 1] + z * rot[2, 2] + trans[2],
+            ],
+            axis=-1,
+        )
         return self.s.distance(q)
 
     def bounds(self) -> Box:

@@ -49,6 +49,29 @@ def test_render_paths_agree_on_device():
 
 
 @requires_accel
+def test_dc_count_backend_invariant():
+    """DC triangle counts are backend-invariant: the same rotated scene
+    (rotation exercises Transform.distance, historically the one source
+    of cross-backend sign flips via the MXU's bf16 matmul default —
+    fixed with expanded f32 VPU mul-adds, core/ops3.py) renders the
+    SAME count on the CPU oracle and the accelerator. The flagship
+    anchor is test_dual_contour.py::test_dc_bolt_golden_count_accel
+    (bolt resdiv-256 == 99,844 on both backends)."""
+    import math
+
+    from gsdf_tpu import Builder
+    from gsdf_tpu.render.dual_contour import DualContourRenderer
+
+    bld = Builder()
+    s = bld.smooth_union(0.12, bld.new_torus(0.7, 0.22), bld.new_box(0.9, 0.4, 0.6, 0.05))
+    s = bld.rotate(s, 2.5 * math.pi / 2, (1, 0, 0.1))
+    res = s.bounds().diagonal() / 96
+    t_cpu = DualContourRenderer(s, res, device=jax.devices("cpu")[0]).render()
+    t_acc = DualContourRenderer(s, res, device=_accel()).render()
+    assert len(t_cpu) == len(t_acc)
+
+
+@requires_accel
 def test_compact_path_on_device_matches_cpu():
     """The production compact path on the accelerator must produce the
     same triangle count as the CPU oracle render AND bit-identical

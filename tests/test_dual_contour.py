@@ -196,13 +196,16 @@ def test_dc_bolt_golden_count():
 
 
 def test_dc_bolt_golden_count_accel():
-    """On the accelerator the SAME scene yields EXACTLY 99,884 triangles
-    (measured v5e, 2026-08-17): ~1e-7 eval differences flip the signbit
-    of a handful of near-zero grid corners vs the CPU backend, so DC's
-    edge discretization differs by 40 triangles. Each backend is
-    bit-stable; both counts are exact gates — any drift is a regression
-    to investigate, never a tolerance to widen (docs/PERFORMANCE.md
-    'Dual contouring' records the split)."""
+    """On the accelerator the SAME scene yields EXACTLY the same 99,844
+    triangles as the CPU oracle — DC counts are backend-invariant. The
+    historical 99,884 on-chip split (2026-08-17) was traced to
+    `p @ rot.T` in Transform/Rotation2D dispatching to the MXU, whose
+    default matmul precision truncates inputs to bfloat16 (0.036 grid
+    deviation on this scene); expanded f32 mul-adds on the VPU
+    (core/ops3.py Transform.distance) eliminated every cross-backend
+    sign flip (0 sign-diff corners, 0 differing active edges at
+    resdiv 256). Both backends now share ONE golden; any drift is a
+    regression to investigate, never a tolerance to widen."""
     import jax
 
     devs = [d for d in jax.devices() if d.platform != "cpu"]
@@ -210,7 +213,7 @@ def test_dc_bolt_golden_count_accel():
         pytest.skip("no accelerator")
     m3, res = _bolt_scene()
     t1 = DualContourRenderer(m3, res, device=devs[0]).render()
-    assert len(t1) == 99884
+    assert len(t1) == 99844
     t2 = DualContourRenderer(m3, res, device=devs[0]).render()
     np.testing.assert_array_equal(t1, t2)  # bit-stable on-chip
 
