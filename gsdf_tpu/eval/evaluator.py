@@ -155,13 +155,27 @@ def grid_eval_fn(tree: Shader3D, shape: tuple, device, with_k0: bool = False):
     chunking must compute iz = (iota + k0) so slab positions stay
     BIT-IDENTICAL to the whole-grid eval — shifting the origin instead
     ((origin + k*res) + i*res vs origin + (k+i)*res) drifts ~1/3 of
-    coordinates by 1 ulp (the fused_render/sharded k0 discipline)."""
+    coordinates by 1 ulp (the fused_render/sharded k0 discipline).
+
+    On the CPU backend the eval routes through
+    ops.mc_emit.canonical_grid_eval so the staged pipeline's grid is
+    bit-exact vs the fused/welded/compact/pruned/sharded kernels (the
+    staged=fused fuzz gate)."""
     key = (tree.tree_hash(), shape, device, bool(with_k0))
     fn = _grid_cache.get(key)
     if fn is None:
         nk, nj, ni = shape
 
         def impl(origin, res, k0=None):
+            if device.platform == "cpu":
+                from ..ops.mc_emit import canonical_grid_eval
+
+                izi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 0)
+                if k0 is not None:
+                    izi = izi + jnp.asarray(k0, jnp.int32)
+                iyi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 1)
+                ixi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 2)
+                return canonical_grid_eval(tree, origin, res, ixi, iyi, izi)
             iz = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 0)
             if k0 is not None:
                 iz = iz + k0

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .marching_cubes import _bucket
-from .mc_emit import dense_grid_mc
+from .mc_emit import canonical_grid_eval, dense_grid_mc
 
 _f32 = np.float32
 
@@ -51,14 +51,22 @@ def build_fused_render(tree, shape, a_size: int, t_size: int, device):
     def impl(origin, res, k0):
         # k0 is a plane offset added to iz so a slab render reproduces the
         # exact float32 positions of a whole-grid render (origin + (iz+k0)*res)
-        iz = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 0) + k0
-        iy = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 1)
-        ix = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 2)
-        p = jnp.stack(
-            [origin[0] + ix * res, origin[1] + iy * res, origin[2] + iz * res],
-            axis=-1,
-        )
-        grid = tree.distance(p)
+        if device.platform == "cpu":
+            # canonical shared eval loop (mc_emit.canonical_grid_eval)
+            izi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 0)
+            izi = izi + jnp.asarray(k0, jnp.int32)
+            iyi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 1)
+            ixi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 2)
+            grid = canonical_grid_eval(tree, origin, res, ixi, iyi, izi)
+        else:
+            iz = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 0) + k0
+            iy = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 1)
+            ix = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 2)
+            p = jnp.stack(
+                [origin[0] + ix * res, origin[1] + iy * res, origin[2] + iz * res],
+                axis=-1,
+            )
+            grid = tree.distance(p)
         tris, n_active, total = dense_grid_mc(grid, origin, res, k0, A, T)
         return tris, n_active, total
 

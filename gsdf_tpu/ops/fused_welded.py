@@ -66,14 +66,22 @@ def build_welded_render(tree, shape, a_size, v_size, t_size, device, parametric=
     T = int(t_size)
 
     def impl(origin, res, k0):
-        iz = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 0) + k0
-        iy = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 1)
-        ix = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 2)
-        p = jnp.stack(
-            [origin[0] + ix * res, origin[1] + iy * res, origin[2] + iz * res],
-            axis=-1,
-        )
-        grid = tree.distance(p)
+        if device.platform == "cpu":
+            # canonical shared eval loop (mc_emit.canonical_grid_eval)
+            izi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 0)
+            izi = izi + jnp.asarray(k0, jnp.int32)
+            iyi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 1)
+            ixi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 2)
+            grid = mc_emit.canonical_grid_eval(tree, origin, res, ixi, iyi, izi)
+        else:
+            iz = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 0) + k0
+            iy = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 1)
+            ix = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 2)
+            p = jnp.stack(
+                [origin[0] + ix * res, origin[1] + iy * res, origin[2] + iz * res],
+                axis=-1,
+            )
+            grid = tree.distance(p)
 
         # --- active cube compaction (shared kernel, as in the soup path)
         index, active = mc_emit.classify(grid, res)

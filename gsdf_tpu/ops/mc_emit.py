@@ -75,6 +75,60 @@ def bucket(n: int, minimum: int = 1024, granule: int = 65536) -> int:
     return ((n + granule - 1) // granule) * granule
 
 
+def canonical_grid_eval(tree, origin, res, ix, iy, iz):
+    """CPU-backend corner-field evaluation with ONE compiled eval loop
+    shared by every MC kernel shape (dense grid, staged z-slab, sharded
+    slab, pruned tile atlas) so their grid VALUES can never drift apart.
+
+    ix/iy/iz are int32 GLOBAL corner indices of identical (any) shape;
+    returns f32 distances in that shape.
+
+    The int32 indices are flattened to (N, 3) and materialized behind
+    lax.optimization_barrier before the position synthesis + tree eval.
+    Rationale (measured, docs/TESTING.md "Pruned-path bit-exactness"):
+    LLVM applies different FMA-contraction / vectorization choices to
+    the fused synth+eval loop depending on the caller's array shape —
+    identical f32 positions evaluated through a (T,9,9,9) tile atlas
+    diverged from the (nk,nj,ni) dense grid by 1-2 ulp on ~10% of
+    corners (positions themselves bit-identical). A materialized flat
+    (N,3) operand makes the consumer loop the SAME compiled body for
+    every caller, and flat-shape evals are measured bit-stable across
+    batch lengths AND row offsets (aligned or not), so dense == tile ==
+    slab by construction. The barrier costs one int32 index-buffer
+    round-trip — irrelevant on the CPU test/oracle backend.
+
+    Accelerator kernels do NOT route through this helper: the TPU
+    backend compiles elementwise math without shape-dependent
+    contraction (tile-vs-dense was already bit-exact on the v5e,
+    pinned in tests), and a barrier would force an HBM round-trip of
+    the index buffer on the production path. Call sites keep their
+    fused f32 synthesis verbatim off-CPU.
+    """
+    gidx = jnp.stack(
+        [ix.reshape(-1), iy.reshape(-1), iz.reshape(-1)], axis=-1
+    )
+    # pad the flat batch to a multiple of 64 rows: every element then
+    # runs through LLVM's vectorized loop body — a scalar remainder tail
+    # compiles with different FMA choices, so a surface corner landing
+    # in the tail of one kernel's batch but the body of another's would
+    # still diverge (observed: 1-ulp vertex drift on 0.4% of a slabbed
+    # render before padding)
+    n = gidx.shape[0]
+    n_pad = -n % 64
+    if n_pad:
+        gidx = jnp.pad(gidx, ((0, n_pad), (0, 0)))  # pad rows eval corner 0
+    g = jax.lax.optimization_barrier(gidx).astype(jnp.float32)
+    p = jnp.stack(
+        [
+            origin[0] + g[:, 0] * res,
+            origin[1] + g[:, 1] * res,
+            origin[2] + g[:, 2] * res,
+        ],
+        axis=-1,
+    )
+    return tree.distance(p)[:n].reshape(ix.shape)
+
+
 def cube_corner_views(grid):
     """The 8 per-cube corner arrays sliced over the LAST 3 dims (works for
     a dense (nk,nj,ni) grid and for a (T,P,P,P) tile atlas alike)."""

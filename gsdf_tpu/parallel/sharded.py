@@ -21,6 +21,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.node import Shader3D
+from ..ops import mc_emit
 
 _f32 = np.float32
 
@@ -68,6 +69,13 @@ def sharded_grid_eval(tree: Shader3D, mesh: Mesh, shape, origin, res):
     )
     def impl(origin, res):
         k0 = jax.lax.axis_index(AXIS) * nk_local
+        if mesh.devices.flat[0].platform == "cpu":
+            # canonical shared eval loop (ops.mc_emit.canonical_grid_eval):
+            # slab values bit-match the single-device whole-grid kernels
+            izi = jax.lax.broadcasted_iota(jnp.int32, (nk_local, nj, ni), 0) + k0
+            iyi = jax.lax.broadcasted_iota(jnp.int32, (nk_local, nj, ni), 1)
+            ixi = jax.lax.broadcasted_iota(jnp.int32, (nk_local, nj, ni), 2)
+            return mc_emit.canonical_grid_eval(tree, origin, res, ixi, iyi, izi)
         iz = jax.lax.broadcasted_iota(jnp.float32, (nk_local, nj, ni), 0) + k0
         iy = jax.lax.broadcasted_iota(jnp.float32, (nk_local, nj, ni), 1)
         ix = jax.lax.broadcasted_iota(jnp.float32, (nk_local, nj, ni), 2)
@@ -117,14 +125,26 @@ def sharded_render_step(tree: Shader3D, mesh: Mesh, shape, max_tris_per_shard: i
         # local slab + one extra plane (halo) evaluated redundantly: one
         # plane of recompute beats a ppermute dependency chain at this size,
         # and keeps the step collective-free until the final gather.
-        iz = jax.lax.broadcasted_iota(jnp.float32, (nk_local + 1, nj, ni), 0) + k0
-        iy = jax.lax.broadcasted_iota(jnp.float32, (nk_local + 1, nj, ni), 1)
-        ix = jax.lax.broadcasted_iota(jnp.float32, (nk_local + 1, nj, ni), 2)
-        p = jnp.stack(
-            [origin[0] + ix * res, origin[1] + iy * res, origin[2] + iz * res],
-            axis=-1,
-        )
-        grid_ext = tree.distance(p)
+        if mesh.devices.flat[0].platform == "cpu":
+            # canonical shared eval loop (ops.mc_emit.canonical_grid_eval)
+            izi = (
+                jax.lax.broadcasted_iota(jnp.int32, (nk_local + 1, nj, ni), 0)
+                + k0
+            )
+            iyi = jax.lax.broadcasted_iota(jnp.int32, (nk_local + 1, nj, ni), 1)
+            ixi = jax.lax.broadcasted_iota(jnp.int32, (nk_local + 1, nj, ni), 2)
+            grid_ext = mc_emit.canonical_grid_eval(
+                tree, origin, res, ixi, iyi, izi
+            )
+        else:
+            iz = jax.lax.broadcasted_iota(jnp.float32, (nk_local + 1, nj, ni), 0) + k0
+            iy = jax.lax.broadcasted_iota(jnp.float32, (nk_local + 1, nj, ni), 1)
+            ix = jax.lax.broadcasted_iota(jnp.float32, (nk_local + 1, nj, ni), 2)
+            p = jnp.stack(
+                [origin[0] + ix * res, origin[1] + iy * res, origin[2] + iz * res],
+                axis=-1,
+            )
+            grid_ext = tree.distance(p)
         # shared MC-emit kernel over this shard's cubes; grid_ext includes
         # the +z halo plane, k0 keeps positions bit-exact with whole-grid
         tris, n_act, total = dense_grid_mc(
@@ -201,6 +221,16 @@ def sharded_compact_step(
         # layer index is computed in int32 and cast ONCE, so positions
         # bit-match the whole-grid render's global f32 iota.
         k0 = me * nk_local + k_base
+        if mesh.devices.flat[0].platform == "cpu":
+            # canonical shared eval loop (ops.mc_emit.canonical_grid_eval)
+            izi = (
+                jax.lax.broadcasted_iota(jnp.int32, (nk_local + 1, nj, ni), 0)
+                + k0
+            )
+            iyi = jax.lax.broadcasted_iota(jnp.int32, (nk_local + 1, nj, ni), 1)
+            ixi = jax.lax.broadcasted_iota(jnp.int32, (nk_local + 1, nj, ni), 2)
+            grid = mc_emit.canonical_grid_eval(tree, origin, res, ixi, iyi, izi)
+            return compact_emit(grid, res, A, E, V, blk_size=BLK)[None]
         iz = (
             jax.lax.broadcasted_iota(jnp.int32, (nk_local + 1, nj, ni), 0)
             + k0

@@ -98,15 +98,35 @@ def _coarse_fn(tree, shape, device, parametric=False):
     return fn
 
 
-def _tile_grid(tree, tile_ijk, origin, res, S):
+def _tile_grid(tree, tile_ijk, origin, res, S, platform):
     """The ONE tile position-synthesis + eval shared by both pruned
     kernels (soup _tile_mc_fn and compact _tile_compact_fn), so their
     grid values can never drift apart (the pinned pruned-vs-dense
     parity depends on it). tile_ijk (T,3) [i,j,k] tile coords, negative
     = padding rows (evaluated at tile 0, masked by callers). Returns
-    (T,S+1,S+1,S+1) corner distances, [k,j,i] within each tile."""
+    (T,S+1,S+1,S+1) corner distances, [k,j,i] within each tile.
+
+    On CPU the eval routes through mc_emit.canonical_grid_eval — the
+    same compiled eval loop as the dense/staged/sharded kernels — so
+    the atlas values (and hence the edge-interpolation t) are BIT-EXACT
+    vs the dense grid. On accelerators the fused synthesis below was
+    already bit-exact vs dense (pinned on-chip); see
+    canonical_grid_eval's docstring for the asymmetry rationale."""
     P = S + 1
     T = tile_ijk.shape[0]
+    if platform == "cpu":
+        basei = jnp.maximum(tile_ijk, 0) * S  # (T,3) int32 global offsets
+        izi = jax.lax.broadcasted_iota(jnp.int32, (T, P, P, P), 1)
+        iyi = jax.lax.broadcasted_iota(jnp.int32, (T, P, P, P), 2)
+        ixi = jax.lax.broadcasted_iota(jnp.int32, (T, P, P, P), 3)
+        return mc_emit.canonical_grid_eval(
+            tree,
+            origin,
+            res,
+            basei[:, 0, None, None, None] + ixi,
+            basei[:, 1, None, None, None] + iyi,
+            basei[:, 2, None, None, None] + izi,
+        )
     base = jnp.maximum(tile_ijk, 0).astype(jnp.float32) * _f32(S)
     iz = jax.lax.broadcasted_iota(jnp.float32, (T, P, P, P), 1)
     iy = jax.lax.broadcasted_iota(jnp.float32, (T, P, P, P), 2)
@@ -138,7 +158,7 @@ def _tile_mc_fn(tree, S, n_tiles, a_size, t_size, device):
         P = S + 1  # corner planes per tile
 
         def impl(tile_ijk, origin, res):
-            grid = _tile_grid(tree, tile_ijk, origin, res, S)
+            grid = _tile_grid(tree, tile_ijk, origin, res, S, device.platform)
             valid_tile = (tile_ijk[:, 0] >= 0)[:, None, None, None]
             index, active = mc_emit.classify(grid, res, extra_mask=valid_tile)
             n_active = jnp.sum(active.astype(jnp.int32))
@@ -207,7 +227,7 @@ def _tile_compact_fn(tree, S, n_tiles, a_size, v_size, dims, device, parametric=
         from ..ops.compact_field import tile_compact_emit
 
         def impl(tile_ijk, origin, res):
-            grid = _tile_grid(tree, tile_ijk, origin, res, S)
+            grid = _tile_grid(tree, tile_ijk, origin, res, S, device.platform)
             return tile_compact_emit(grid, tile_ijk, dims, res, a_size, v_size)
 
         if parametric:

@@ -27,12 +27,12 @@ def test_pruned_matches_flat():
     fr = FlatRenderer(s, res)
     tris_f = fr.render()
     assert len(tris_p) == len(tris_f)
-    # same triangles up to cross-kernel fusion ulps (XLA may compile the
-    # tile kernel with different FMA contraction than the dense kernel; on
-    # TPU the flange matches bit-exactly)
-    np.testing.assert_allclose(
-        _sorted_rows(tris_p), _sorted_rows(tris_f), atol=1e-6
-    )
+    # BIT-identical triangle sets (round 5): the canonical shared eval
+    # loop (ops.mc_emit.canonical_grid_eval) makes the tile-atlas grid
+    # values equal the dense kernel's on CPU, and the shared emit
+    # pipeline does the rest — the historical fusion-ulp tolerance here
+    # is retired along with test_pruned_compact_payload_matches_dense's.
+    np.testing.assert_array_equal(_sorted_rows(tris_p), _sorted_rows(tris_f))
     # pruning must actually skip evaluations
     assert pr.total_pruned() > 0
     assert pr.evaluations() < fr.evaluations() * 1.5
@@ -101,18 +101,46 @@ def test_pruned_compact_payload_matches_dense():
     )
     np.testing.assert_array_equal(ids_p, ids_d)
     np.testing.assert_array_equal(cases_p, cases_d)
-    # ids/cases/connectivity are exact; t matches to f32 round-off ONLY:
-    # the tile-atlas eval fuses differently from the dense whole-grid
-    # kernel, and a 1-ulp grid-value difference amplifies through the
-    # cancellation in t = -v0/(vfar-v0). Pin a tight ulp bound (measured
-    # max 15 ulp on 2% of values) so real drift still fails loudly.
-    ulp = np.abs(
-        t_p.view(np.int32).astype(np.int64) - t_d.view(np.int32).astype(np.int64)
-    )
-    assert ulp.max(initial=0) <= 32, f"t drift {ulp.max()} ulp > 32"
-    assert np.mean(ulp > 0) < 0.05, f"{np.mean(ulp > 0):.1%} of t values drifted"
+    # t is BIT-EXACT too (round 5): every MC kernel shape routes its CPU
+    # grid eval through ops.mc_emit.canonical_grid_eval — one compiled
+    # eval loop over a materialized flat (N,3) index buffer — so the
+    # tile-atlas values cannot drift from the dense kernel's. The
+    # historical <=32-ulp carve-out (LLVM FMA-contraction differences
+    # between the (T,9,9,9) and (nk,nj,ni) fused loops) is retired.
+    np.testing.assert_array_equal(t_p, t_d)
     # pruning actually skipped fine evaluations
     assert pr.total_pruned() > 0
+
+
+def test_pruned_compact_payload_bitexact_accel():
+    """On the accelerator the pruned tile-atlas payload (ids, cases AND
+    t) bit-matches the dense compact payload through the FUSED synthesis
+    path — the TPU backend compiles elementwise math without the
+    shape-dependent FMA contraction that forced the CPU backend onto
+    mc_emit.canonical_grid_eval. This gate is the standing evidence for
+    that asymmetry (canonical_grid_eval docstring)."""
+    import jax
+
+    devs = [d for d in jax.devices() if d.platform != "cpu"]
+    if not devs:
+        pytest.skip("no accelerator")
+    from gsdf_tpu.ops.compact_field import compact_field_render
+
+    s = bld.difference(
+        bld.smooth_union(0.1, bld.new_sphere(0.8), bld.new_box(1.2, 1.2, 0.5, 0.05)),
+        bld.new_cylinder(0.3, 4.0, 0.0),
+    )
+    res = 0.05
+    pr = PrunedRenderer(s, res, tile_size=8, tiles_per_batch=256, device=devs[0])
+    ids_p, cases_p, t_p = pr.compact_payload()
+    fr = FlatRenderer(s, res, device=devs[0])
+    nk, nj, ni = fr.nz + 1, fr.ny + 1, fr.nx + 1
+    ids_d, cases_d, t_d, _ = compact_field_render(
+        s, fr.origin, fr.res, (nk, nj, ni), devs[0]
+    )
+    np.testing.assert_array_equal(ids_p, ids_d)
+    np.testing.assert_array_equal(cases_p, cases_d)
+    np.testing.assert_array_equal(t_p, t_d)
 
 
 def test_pruned_render_compact_mesh():
