@@ -22,10 +22,16 @@ from .core import Builder
 # Exact golden triangle counts for the production compact path
 # (reference golden-count discipline: glrender/glrender_test.go:83-102;
 # flange/showerhead counts match reference README.md:116,152 pipelines).
+# Bolt/knurled counts are CPU-ORACLE-anchored: their original round-4
+# values (137,192 / 617,460) had been recorded from the chip while
+# Transform.distance still dispatched `p @ rot.T` to the MXU in bf16
+# (0.036 grid deviation — the defect fixed in core/ops3.py); the oracle
+# values below are what BOTH backends render since that fix. The
+# flange/showerhead scenes contain no transforms and never drifted.
 GOLDEN_FLANGE_TRIS = 423852  # resdiv 400
 GOLDEN_SHOWERHEAD_TRIS = 309872  # resdiv 350
-GOLDEN_BOLT_TRIS = 137192  # resdiv 300
-GOLDEN_KNURLED_TRIS = 617460  # resdiv 350
+GOLDEN_BOLT_TRIS = 137528  # resdiv 300 (oracle-anchored, round 5)
+GOLDEN_KNURLED_TRIS = 616324  # resdiv 350 (oracle-anchored, round 5)
 
 
 def flange_scene(bld: Builder):

@@ -59,7 +59,7 @@ class InteractiveViewer:
         device=None,
         steps: int = 196,
         drag_steps: int = 72,
-        aa: int = 2,
+        aa: int = 3,
         verbose: bool = False,
         pipeline: bool = False,
         params=None,
@@ -72,8 +72,11 @@ class InteractiveViewer:
         self.device = device if device is not None else jax.devices()[0]
         self.steps = int(steps)
         self.drag_steps = int(drag_steps)
-        #: rest-quality supersampling; drag frames always render aa=1
-        #: (the reference UI's AA=3-at-rest / 1-in-motion behavior)
+        #: rest-quality supersampling; drag frames always render aa=1.
+        #: Default 3 matches the reference UI's AA=3-at-rest / 1-in-
+        #: motion behavior (gsdfaux/ui.go:131-241); the aa*W x aa*H
+        #: frame is box-filtered ON DEVICE so the fetched payload stays
+        #: W x H regardless (docs/PERFORMANCE.md "Interactive viewer").
         self.aa = int(aa)
         #: per-frame wall latency log, keyed 'drag'/'full' — the viewer's
         #: observability (typical numbers in docs/PERFORMANCE.md)
