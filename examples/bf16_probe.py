@@ -32,12 +32,9 @@ it on the host). Results and the accept/reject verdict are recorded in
 docs/PERFORMANCE.md "Mixed-precision classification".
 """
 import argparse
-import sys
 import time
 
 import numpy as np
-
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import jax
 import jax.numpy as jnp

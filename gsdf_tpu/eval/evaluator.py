@@ -168,14 +168,11 @@ def grid_eval_fn(tree: Shader3D, shape: tuple, device, with_k0: bool = False):
 
         def impl(origin, res, k0=None):
             if device.platform == "cpu":
-                from ..ops.mc_emit import canonical_grid_eval
+                from ..ops.mc_emit import canonical_dense_grid_eval
 
-                izi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 0)
-                if k0 is not None:
-                    izi = izi + jnp.asarray(k0, jnp.int32)
-                iyi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 1)
-                ixi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 2)
-                return canonical_grid_eval(tree, origin, res, ixi, iyi, izi)
+                return canonical_dense_grid_eval(
+                    tree, origin, res, (nk, nj, ni), k0=k0
+                )
             iz = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 0)
             if k0 is not None:
                 iz = iz + k0

@@ -97,12 +97,23 @@ _BIND_STATE = threading.local()
 
 
 def binding_active() -> bool:
-    """True while _bind_params holds node attributes bound to tracers —
-    consulted by OpUnion's grouped scan to switch from value-hash
-    grouping (params are constants) to structure-hash grouping with
-    per-member param slices (params are operands and may be rebound
-    apart after compilation). Thread-local: a trace in one thread must
-    not flip the grouping decision of a concurrent unbound trace."""
+    """True while THIS thread's _bind_params holds node attributes bound
+    to tracers — consulted by OpUnion's grouped scan to switch from
+    value-hash grouping (params are constants) to structure-hash
+    grouping with per-member param slices (params are operands and may
+    be rebound apart after compilation).
+
+    Thread-local, with a precisely-scoped guarantee: concurrent traces
+    of DISTINCT trees are safe (one thread's binding no longer flips an
+    unbound thread's grouping decision — the round-4 advisor fix).
+    Concurrent tracing of the SAME tree while another thread holds it
+    bound is NOT supported under any depth-counter scope: _bind_params
+    swaps the node attributes themselves (process-global state), so the
+    unbound thread would read the binder's tracers and its trace fails
+    LOUDLY with a JAX tracer-leak error — never a silently poisoned
+    cache (the value-hash keys are pre-cached before binding, and any
+    leaked tracer aborts the trace before an executable is built). A
+    bound tree is thread-owned for the duration of the context."""
     return getattr(_BIND_STATE, "depth", 0) > 0
 
 

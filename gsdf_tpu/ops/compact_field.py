@@ -418,14 +418,9 @@ def build_compact_field(
 
     def impl(origin, res, k0):
         if device.platform == "cpu":
-            # canonical shared eval loop (mc_emit.canonical_grid_eval):
-            # k0 is an exact small integer riding an f32 scalar — the
-            # int32 cast is lossless, so slab indices stay exact
-            izi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 0)
-            izi = izi + jnp.asarray(k0, jnp.int32)
-            iyi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 1)
-            ixi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 2)
-            grid = mc_emit.canonical_grid_eval(tree, origin, res, ixi, iyi, izi)
+            grid = mc_emit.canonical_dense_grid_eval(
+                tree, origin, res, (nk, nj, ni), k0=k0
+            )
             return compact_emit(grid, res, A, E, V, blk_size=BLK)
         iz = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 0) + k0
         iy = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 1)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .marching_cubes import _bucket
-from .mc_emit import canonical_grid_eval, dense_grid_mc
+from .mc_emit import canonical_dense_grid_eval, dense_grid_mc
 
 _f32 = np.float32
 
@@ -52,12 +52,7 @@ def build_fused_render(tree, shape, a_size: int, t_size: int, device):
         # k0 is a plane offset added to iz so a slab render reproduces the
         # exact float32 positions of a whole-grid render (origin + (iz+k0)*res)
         if device.platform == "cpu":
-            # canonical shared eval loop (mc_emit.canonical_grid_eval)
-            izi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 0)
-            izi = izi + jnp.asarray(k0, jnp.int32)
-            iyi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 1)
-            ixi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 2)
-            grid = canonical_grid_eval(tree, origin, res, ixi, iyi, izi)
+            grid = canonical_dense_grid_eval(tree, origin, res, (nk, nj, ni), k0=k0)
         else:
             iz = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 0) + k0
             iy = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 1)

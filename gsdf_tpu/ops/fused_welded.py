@@ -67,12 +67,9 @@ def build_welded_render(tree, shape, a_size, v_size, t_size, device, parametric=
 
     def impl(origin, res, k0):
         if device.platform == "cpu":
-            # canonical shared eval loop (mc_emit.canonical_grid_eval)
-            izi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 0)
-            izi = izi + jnp.asarray(k0, jnp.int32)
-            iyi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 1)
-            ixi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 2)
-            grid = mc_emit.canonical_grid_eval(tree, origin, res, ixi, iyi, izi)
+            grid = mc_emit.canonical_dense_grid_eval(
+                tree, origin, res, (nk, nj, ni), k0=k0
+            )
         else:
             iz = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 0) + k0
             iy = jax.lax.broadcasted_iota(jnp.float32, (nk, nj, ni), 1)
@@ -258,13 +255,15 @@ def welded_render(tree, origin, res, shape, device, size_hint=None, parametric=F
         else:
             packed = np.asarray(fn(jnp.asarray(origin), _f32(res)))
         n_active, n_verts, total = (int(x) for x in packed[:3].view(np.int32))
-        if n_verts >= 1 << 21:
+        if n_verts > 1 << 21:
             # the triangle wire format packs three indices into two i32
-            # words at 21 bits each; past 2^21 welded vertices the high
-            # bits would be silently dropped (wrong connectivity, no
-            # error). Checked BEFORE the success branch: a large initial
-            # estimate can fit >=2^21 vertices on the first dispatch, and
-            # that mesh is just as corrupt as one reached via grow-retry.
+            # words at 21 bits each; the max representable index is
+            # 2^21 - 1, so exactly 2^21 vertices (indices 0..2^21-1)
+            # still fit — only MORE than that silently drops high bits
+            # (wrong connectivity, no error). Checked BEFORE the success
+            # branch: a large initial estimate can fit an oversized mesh
+            # on the first dispatch, and that mesh is just as corrupt as
+            # one reached via grow-retry.
             raise ValueError(
                 "mesh exceeds the welded path's 2^21-vertex wire format; "
                 "use render_compact (32-bit vertex ids)"

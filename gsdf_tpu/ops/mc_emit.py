@@ -129,6 +129,27 @@ def canonical_grid_eval(tree, origin, res, ix, iy, iz):
     return tree.distance(p)[:n].reshape(ix.shape)
 
 
+def canonical_dense_grid_eval(tree, origin, res, shape, k0=None):
+    """THE way a CPU kernel evaluates a dense/z-slab corner grid
+    (CLAUDE.md hard rule): builds the (nk, nj, ni) int32 corner-index
+    iotas (z slowest), adds the optional traced global z-layer offset
+    k0 (any integer-valued scalar — an f32-riding exact integer is cast
+    losslessly), and routes through canonical_grid_eval. Centralizing
+    the index plumbing keeps every dense call site mechanically
+    identical — a site that hand-rolled the iotas could transpose an
+    axis or add k0 in f32 and silently break the cross-kernel
+    bit-exactness this path exists to guarantee. The pruned tile atlas
+    (render/pruned.py::_tile_grid) is the one non-dense shape and
+    builds its indices itself."""
+    nk, nj, ni = (int(x) for x in shape)
+    izi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 0)
+    if k0 is not None:
+        izi = izi + jnp.asarray(k0, jnp.int32)
+    iyi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 1)
+    ixi = jax.lax.broadcasted_iota(jnp.int32, (nk, nj, ni), 2)
+    return canonical_grid_eval(tree, origin, res, ixi, iyi, izi)
+
+
 def cube_corner_views(grid):
     """The 8 per-cube corner arrays sliced over the LAST 3 dims (works for
     a dense (nk,nj,ni) grid and for a (T,P,P,P) tile atlas alike)."""

@@ -70,12 +70,10 @@ def sharded_grid_eval(tree: Shader3D, mesh: Mesh, shape, origin, res):
     def impl(origin, res):
         k0 = jax.lax.axis_index(AXIS) * nk_local
         if mesh.devices.flat[0].platform == "cpu":
-            # canonical shared eval loop (ops.mc_emit.canonical_grid_eval):
             # slab values bit-match the single-device whole-grid kernels
-            izi = jax.lax.broadcasted_iota(jnp.int32, (nk_local, nj, ni), 0) + k0
-            iyi = jax.lax.broadcasted_iota(jnp.int32, (nk_local, nj, ni), 1)
-            ixi = jax.lax.broadcasted_iota(jnp.int32, (nk_local, nj, ni), 2)
-            return mc_emit.canonical_grid_eval(tree, origin, res, ixi, iyi, izi)
+            return mc_emit.canonical_dense_grid_eval(
+                tree, origin, res, (nk_local, nj, ni), k0=k0
+            )
         iz = jax.lax.broadcasted_iota(jnp.float32, (nk_local, nj, ni), 0) + k0
         iy = jax.lax.broadcasted_iota(jnp.float32, (nk_local, nj, ni), 1)
         ix = jax.lax.broadcasted_iota(jnp.float32, (nk_local, nj, ni), 2)
@@ -126,15 +124,8 @@ def sharded_render_step(tree: Shader3D, mesh: Mesh, shape, max_tris_per_shard: i
         # plane of recompute beats a ppermute dependency chain at this size,
         # and keeps the step collective-free until the final gather.
         if mesh.devices.flat[0].platform == "cpu":
-            # canonical shared eval loop (ops.mc_emit.canonical_grid_eval)
-            izi = (
-                jax.lax.broadcasted_iota(jnp.int32, (nk_local + 1, nj, ni), 0)
-                + k0
-            )
-            iyi = jax.lax.broadcasted_iota(jnp.int32, (nk_local + 1, nj, ni), 1)
-            ixi = jax.lax.broadcasted_iota(jnp.int32, (nk_local + 1, nj, ni), 2)
-            grid_ext = mc_emit.canonical_grid_eval(
-                tree, origin, res, ixi, iyi, izi
+            grid_ext = mc_emit.canonical_dense_grid_eval(
+                tree, origin, res, (nk_local + 1, nj, ni), k0=k0
             )
         else:
             iz = jax.lax.broadcasted_iota(jnp.float32, (nk_local + 1, nj, ni), 0) + k0
@@ -222,14 +213,9 @@ def sharded_compact_step(
         # bit-match the whole-grid render's global f32 iota.
         k0 = me * nk_local + k_base
         if mesh.devices.flat[0].platform == "cpu":
-            # canonical shared eval loop (ops.mc_emit.canonical_grid_eval)
-            izi = (
-                jax.lax.broadcasted_iota(jnp.int32, (nk_local + 1, nj, ni), 0)
-                + k0
+            grid = mc_emit.canonical_dense_grid_eval(
+                tree, origin, res, (nk_local + 1, nj, ni), k0=k0
             )
-            iyi = jax.lax.broadcasted_iota(jnp.int32, (nk_local + 1, nj, ni), 1)
-            ixi = jax.lax.broadcasted_iota(jnp.int32, (nk_local + 1, nj, ni), 2)
-            grid = mc_emit.canonical_grid_eval(tree, origin, res, ixi, iyi, izi)
             return compact_emit(grid, res, A, E, V, blk_size=BLK)[None]
         iz = (
             jax.lax.broadcasted_iota(jnp.int32, (nk_local + 1, nj, ni), 0)

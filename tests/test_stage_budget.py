@@ -14,7 +14,6 @@ window (floor > 100 ms) skips rather than flakes — re-run healthy
 
 Runs only under GSDF_TPU_TEST_ACCEL=1 with a real accelerator.
 """
-import math
 import os
 import time
 
@@ -70,15 +69,16 @@ def test_flange_stage_budget():
     if rpc_floor > 100.0:
         pytest.skip(f"degraded tunnel window (RPC floor {rpc_floor:.0f} ms)")
 
+    from gsdf_tpu.render.flat import FlatRenderer
+
     obj = build_flange()
     res = _f32(obj.bounds().diagonal() / 400)
-    bb = obj.bounds().scale_centered((1.01, 1.01, 1.01))
-    sz = bb.size()
-    nx = int(math.ceil(_f32(sz[0]) / res))
-    ny = int(math.ceil(_f32(sz[1]) / res))
-    nz = int(math.ceil(_f32(sz[2]) / res))
-    nk, nj, ni = nz + 1, ny + 1, nx + 1
-    origin = jax.device_put(np.asarray(bb.min, _f32), dev)
+    # the ONE production grid sizing (render/flat.py) — don't re-derive
+    fr = FlatRenderer(obj, res, device=dev)
+    nk, nj, ni = fr.nz + 1, fr.ny + 1, fr.nx + 1
+    res = fr.res
+    np_origin = np.asarray(fr.origin, _f32)
+    origin = jax.device_put(np_origin, dev)
 
     def _positions():
         # the production synthesis (accelerator branch of the compact
@@ -105,7 +105,6 @@ def test_flange_stage_budget():
     # hierarchical compaction + owner-edge t + v3 pack) at the warm
     # production buffer hints, sum-reduced on device so the payload
     # never crosses the link
-    np_origin = np.asarray(bb.min, _f32)
     _, _, _, hint = compact_field_render(obj, np_origin, res, (nk, nj, ni), dev)
     if len(hint) == 4:
         a_size, v_size, e_size, blk = hint
