@@ -33,6 +33,25 @@ def test_drag_quality_is_cheap_but_full_size():
     assert img.shape == (64, 64, 3)
 
 
+def test_rest_quality_defaults_reference_parity():
+    """Rest frames default to aa=3 supersampling — the reference UI's
+    AA-at-rest (gsdfaux/ui.go:131-241); drag frames always dispatch
+    aa=1 at half resolution (motion-adaptive downshift). The aa*W x
+    aa*H frame is box-filtered ON DEVICE, so the fetched image is the
+    window size for any aa."""
+    v = _viewer()
+    assert v.aa == 3
+    img = v.render_current("full")
+    assert img.shape == (64, 64, 3)
+    # aa=1 viewer produces the same geometry but visibly different
+    # edge pixels (the supersample filter is real, not a no-op)
+    bld = Builder()
+    obj = bld.smooth_union(0.1, bld.new_sphere(0.7), bld.new_box(1, 1, 0.4, 0))
+    v1 = InteractiveViewer(obj, width=64, height=64, steps=48, aa=1)
+    img1 = v1.render_current("full")
+    assert not np.array_equal(img, img1)
+
+
 def test_move_without_press_is_noop():
     v = _viewer()
     assert not v.on_move(5, 5)
