@@ -4,7 +4,13 @@ The reference cross-validates its two evaluators on randomized shapes
 (gsdf_test.go:233-283, seeded rand). Here the invariant is stronger:
 the staged, fused, welded and compact paths all derive triangles from
 the SAME classification, so on random CSG trees they must produce
-IDENTICAL triangle counts and matching geometry."""
+IDENTICAL triangle counts and matching geometry.
+
+Seed counts: CI runs the small defaults below; set GSDF_TPU_FUZZ_SEEDS=N
+to widen every gate to N seeds for marathon sweeps (same tests, same
+assertions — only the parametrization grows)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -12,6 +18,12 @@ from gsdf_tpu import Builder
 from gsdf_tpu.render.flat import FlatRenderer
 
 bld = Builder()
+
+_FUZZ_SEEDS = int(os.environ.get("GSDF_TPU_FUZZ_SEEDS", "0"))
+
+
+def _seed_range(default):
+    return range(max(default, _FUZZ_SEEDS))
 
 
 def _random_profile(rng):
@@ -133,7 +145,7 @@ def _random_tree(rng, lipschitz=False):
     return t
 
 
-@pytest.mark.parametrize("seed", range(10))
+@pytest.mark.parametrize("seed", _seed_range(10))
 def test_all_paths_agree(seed):
     rng = np.random.default_rng(seed)
     t = _random_tree(rng)
@@ -163,7 +175,7 @@ def test_all_paths_agree(seed):
         assert np.isfinite(fused).all()
 
 
-@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("seed", _seed_range(5))
 def test_pruned_path_agrees(seed):
     """Pruned-vs-dense compact payload fuzzed on RANDOM trees: ids and
     cases (everything count/topology-derived) must match EXACTLY; the
@@ -215,7 +227,7 @@ def test_pruned_path_agrees(seed):
         assert np.mean(ulp > 0) <= 0.25, f"{np.mean(ulp > 0):.0%} of t drifted"
 
 
-@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("seed", _seed_range(5))
 def test_cropped_bounds_paths_agree(seed):
     """Surfaces CROPPED by a with_bounds domain touch the grid boundary:
     owner-edge references can point outside the grid, where the compact
@@ -241,3 +253,41 @@ def test_cropped_bounds_paths_agree(seed):
     cv, ct = FlatRenderer(t, res).render_compact()
     np.testing.assert_array_equal(ct, wt)
     np.testing.assert_allclose(cv, wv, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", _seed_range(3))
+def test_sharded_paths_agree(seed):
+    """Random trees through the multi-chip z-slab paths on the 8-vdev
+    mesh: sharded compact == single-device compact (identical tri_idx,
+    ulp-equal vertices) and sharded DC == single-device DC (same count,
+    elementwise-equal triangles in the same order). The fixed-scene
+    shard tests (test_parallel.py, test_sharded_dc.py) pin the flagship
+    parts bit-exact; this extends the slab-composition invariant to
+    arbitrary CSG trees."""
+    import jax
+
+    from gsdf_tpu.parallel import make_mesh, render_sharded_compact
+    from gsdf_tpu.parallel.sharded_dc import render_dc_sharded
+    from gsdf_tpu.render.dual_contour import DualContourRenderer
+
+    rng = np.random.default_rng(300 + seed)
+    t = _random_tree(rng)
+    if t is None:
+        pytest.skip("builder rejected random combination")
+    bbd = t.bounds().diagonal()
+    if not np.isfinite(bbd) or bbd <= 0:
+        pytest.skip("degenerate bounds")
+    res = bbd / 24
+
+    devices = jax.devices("cpu")[:8]
+    mesh = make_mesh(devices)
+
+    sv, st = render_sharded_compact(t, mesh, res)
+    cv, ct = FlatRenderer(t, res, device=devices[0]).render_compact()
+    np.testing.assert_array_equal(st, ct)
+    np.testing.assert_allclose(sv, cv, atol=1e-6)
+
+    dc_sharded = render_dc_sharded(t, mesh, res)
+    dc_single = DualContourRenderer(t, res, device=devices[0]).render()
+    assert len(dc_sharded) == len(dc_single)
+    np.testing.assert_allclose(dc_sharded, dc_single, atol=1e-6)
