@@ -207,3 +207,44 @@ def test_rebind_transform_rederives_inverse():
         np.float32
     )
     _close(new_sdf2(r2).evaluate(pts2), new_sdf2(fresh2).evaluate(pts2))
+
+
+from test_fuzz_paths import _random_tree, _seed_range  # noqa: E402
+
+
+@pytest.mark.parametrize("seed", _seed_range(6))
+def test_parametric_binding_fuzz(seed):
+    """Random trees over the FULL randomized op set (the generator the
+    render-path fuzz uses): the operand-bound parametric executable must
+    match the baked-constant trace at the framework's 1e-6 budget —
+    before AND after a random continuous-parameter rebind evaluated
+    through the SAME executable. Exercises _bind_params across every
+    node family (screw/polygon/twist/circular-array/... params bound as
+    tracers), where the fixed-scene tests above only cover a handful.
+
+    Seed count widens with GSDF_TPU_FUZZ_SEEDS (marathon sweeps)."""
+    from gsdf_tpu.eval.parametric import param_spec
+
+    rng = np.random.default_rng(400 + seed)
+    t = _random_tree(rng)
+    if t is None:
+        pytest.skip("builder rejected random combination")
+    bb = t.bounds()
+    if not np.isfinite(bb.diagonal()) or bb.diagonal() <= 0:
+        pytest.skip("degenerate bounds")
+    pts = rng.uniform(bb.min - 0.2, bb.max + 0.2, (2048, 3)).astype(np.float32)
+
+    psdf = ParametricSDF3(t, CPU)
+    _close(psdf.evaluate(pts), new_cpu_sdf3(t).evaluate(pts))
+
+    spec = param_spec(t)
+    if not spec:
+        pytest.skip("tree has no continuous parameters")
+    picks = rng.choice(len(spec), size=min(3, len(spec)), replace=False)
+    for i in picks:
+        node, name, _ = spec[int(i)]
+        old = np.asarray(getattr(node, name), np.float32)
+        t.rebind({node: {name: old * np.float32(1.05) + np.float32(0.01)}})
+    # rebind invalidated the tree hash: new_cpu_sdf3 re-traces with the
+    # edited constants; psdf re-packs the same values as operands
+    _close(psdf.evaluate(pts), new_cpu_sdf3(t).evaluate(pts))
