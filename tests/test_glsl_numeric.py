@@ -269,3 +269,33 @@ def test_gate_detects_perturbation():
     d = fn(_V([0.9, 0.0, 0.0]))
     ref = float(new_cpu_sdf3(s).evaluate(np.array([[0.9, 0, 0]], np.float32))[0])
     assert abs(d - ref) > TOL
+
+
+from test_fuzz_paths import _random_tree, _seed_range  # noqa: E402
+
+
+@pytest.mark.parametrize("seed", _seed_range(6))
+def test_glsl_random_tree(seed):
+    """Whole-random-tree codegen gate: the emitted GLSL for a COMPOSED
+    CSG tree (the render-fuzz generator's full op set) executes to
+    distance() within the reference tolerance. The per-shape battery
+    above validates each emitter in isolation; this exercises emitter
+    composition — nested function references, hash dedup of repeated
+    subtrees, 2D->3D extrude/revolve hybrids — the way the reference's
+    testShader3D compiles whole randomized shapes (gsdf_test.go:233-283).
+
+    Widens with GSDF_TPU_FUZZ_SEEDS (marathon sweeps)."""
+    rng = np.random.default_rng(500 + seed)
+    t = _random_tree(rng)
+    if t is None:
+        pytest.skip("builder rejected random combination")
+    bb = t.bounds()
+    if not np.isfinite(bb.diagonal()) or bb.diagonal() <= 0:
+        pytest.skip("degenerate bounds")
+    pts = _points_for(t, rng)
+    got = glsl_distance_fn(t)(pts)
+    ref = np.asarray(new_cpu_sdf3(t).evaluate(pts))
+    err = np.abs(got - ref)
+    assert err.max() < TOL, (
+        f"seed {seed}: max err {err.max():.2e} at {pts[err.argmax()]}"
+    )
