@@ -296,6 +296,10 @@ def render_sharded_compact(
     nx = int(_math.ceil(_f32(sz[0]) / res32))
     ny = int(_math.ceil(_f32(sz[1]) / res32))
     nz = int(_math.ceil(_f32(sz[2]) / res32))
+    if nx <= 0 or ny <= 0 or nz <= 0:
+        # inverted (empty-intersection) bounds — reject like the
+        # single-device renderers (flatrenderer.go:54)
+        raise ValueError("resolution not fine enough for marching cubes")
     n_dev = mesh.devices.size
     nk = nz + 1
     if nk % n_dev:
@@ -430,6 +434,10 @@ def render_sharded(tree: Shader3D, mesh: Mesh, res: float, max_tris_per_shard=1 
     nx = int(_math.ceil(_f32(sz[0]) / res32))
     ny = int(_math.ceil(_f32(sz[1]) / res32))
     nz = int(_math.ceil(_f32(sz[2]) / res32))
+    if nx <= 0 or ny <= 0 or nz <= 0:
+        # inverted (empty-intersection) bounds — reject like the
+        # single-device renderers (flatrenderer.go:54)
+        raise ValueError("resolution not fine enough for marching cubes")
     n_dev = mesh.devices.size
     nk = nz + 1
     if nk % n_dev:

@@ -188,6 +188,10 @@ def render_dc_sharded(
     nxv = int(math.ceil(_f32(sz[0]) / res32)) + 1
     nyv = int(math.ceil(_f32(sz[1]) / res32)) + 1
     nzv = int(math.ceil(_f32(sz[2]) / res32)) + 1
+    if nxv <= 1 or nyv <= 1 or nzv <= 1:
+        # inverted (empty-intersection) or sub-voxel bounds — reject like
+        # the single-device renderer (flatrenderer.go:54 discipline)
+        raise ValueError("resolution not fine enough for dual contouring")
     n_dev = mesh.devices.size
     plane = nyv * nxv
     plane_corners = (nyv + 1) * (nxv + 1)

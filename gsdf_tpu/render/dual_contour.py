@@ -764,6 +764,10 @@ class DualContourRenderer:
         self.nx = int(math.ceil(_f32(sz[0]) / self.res)) + 1
         self.ny = int(math.ceil(_f32(sz[1]) / self.res)) + 1
         self.nz = int(math.ceil(_f32(sz[2]) / self.res)) + 1
+        if self.nx <= 1 or self.ny <= 1 or self.nz <= 1:
+            # inverted (empty-intersection) or sub-voxel bounds: reject
+            # loudly like the reference grid renderers (flatrenderer.go:54)
+            raise ValueError("resolution not fine enough for dual contouring")
         self.origin = bb.min
         self._evaluations = 0
         self.host_qef = bool(host_qef)

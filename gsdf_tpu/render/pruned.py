@@ -289,6 +289,11 @@ class PrunedRenderer:
         self.nx = int(math.ceil(_f32(sz[0]) / self.res))
         self.ny = int(math.ceil(_f32(sz[1]) / self.res))
         self.nz = int(math.ceil(_f32(sz[2]) / self.res))
+        if self.nx <= 0 or self.ny <= 0 or self.nz <= 0:
+            # covers inverted (empty-intersection) bounds boxes too — the
+            # reference renderers reject these the same way
+            # (flatrenderer.go:54, octreerenderer.go:232)
+            raise ValueError("resolution not fine enough for marching cubes")
         self.origin = bb.min
         self.tx = -(-self.nx // self.S)
         self.ty = -(-self.ny // self.S)

@@ -152,3 +152,37 @@ def test_pruned_render_compact_mesh():
     assert len(tri_p) == len(tri_d)
     np.testing.assert_array_equal(tri_p, tri_d)
     np.testing.assert_allclose(verts_p, verts_d, atol=1e-6)
+
+
+def test_empty_bounds_tree_rejected_everywhere():
+    """Intersection of disjoint parts yields an inverted (empty) bounds
+    box. Every renderer must reject it with the reference's loud error
+    (flatrenderer.go:54 / octreerenderer.go:232 "resolution not fine
+    enough") instead of crashing in grid setup — found by the 60-seed
+    fuzz marathon (pruned seed 45 segfaulted the coarse-grid iota with a
+    negative dimension before this guard)."""
+    import jax
+
+    from gsdf_tpu.parallel import make_mesh, render_sharded, render_sharded_compact
+    from gsdf_tpu.parallel.sharded_dc import render_dc_sharded
+    from gsdf_tpu.render.dual_contour import DualContourRenderer
+
+    bld2 = Builder()
+    t = bld2.intersection(
+        bld2.new_sphere(0.4),
+        bld2.translate(bld2.new_sphere(0.4), 3.0, 0.0, 0.0),
+    )
+    assert t.bounds().is_empty()
+    mesh = make_mesh(jax.devices("cpu")[:2])
+    with pytest.raises(ValueError, match="not fine enough"):
+        FlatRenderer(t, 0.05)
+    with pytest.raises(ValueError, match="not fine enough"):
+        PrunedRenderer(t, 0.05)
+    with pytest.raises(ValueError, match="not fine enough"):
+        DualContourRenderer(t, 0.05)
+    with pytest.raises(ValueError, match="not fine enough"):
+        render_sharded(t, mesh, 0.05)
+    with pytest.raises(ValueError, match="not fine enough"):
+        render_sharded_compact(t, mesh, 0.05)
+    with pytest.raises(ValueError, match="not fine enough"):
+        render_dc_sharded(t, mesh, 0.05)
