@@ -250,7 +250,10 @@ def _fuzz_tree(seed):
     return t
 
 
-@pytest.mark.parametrize("seed", range(6))
+from test_fuzz_paths import _seed_range  # noqa: E402
+
+
+@pytest.mark.parametrize("seed", _seed_range(6))
 def test_dc_fuzz_seeded_trees(seed):
     """DC's differential fuzz gate (round-3 VERDICT: DC was the one
     renderer absent from the fuzz battery). DC discretizes differently

@@ -8,7 +8,13 @@ IDENTICAL triangle counts and matching geometry.
 
 Seed counts: CI runs the small defaults below; set GSDF_TPU_FUZZ_SEEDS=N
 to widen every gate to N seeds for marathon sweeps (same tests, same
-assertions — only the parametrization grows)."""
+assertions — only the parametrization grows). GSDF_TPU_FUZZ_BASE=B
+offsets the range to [B, B+N) so examples/fuzz_marathon.py can shard a
+big sweep across subprocesses: XLA:CPU segfaults inside
+backend_compile_and_load after ~500 fresh compiles in ONE process
+(reproduced 3x at the same sequence position, 2026-08-18, jax 0.9 —
+with and without the persistent cache), so a long sweep must recycle
+processes. docs/TESTING.md "Fuzz marathons"."""
 import os
 
 import numpy as np
@@ -20,10 +26,12 @@ from gsdf_tpu.render.flat import FlatRenderer
 bld = Builder()
 
 _FUZZ_SEEDS = int(os.environ.get("GSDF_TPU_FUZZ_SEEDS", "0"))
+_FUZZ_BASE = int(os.environ.get("GSDF_TPU_FUZZ_BASE", "0"))
 
 
 def _seed_range(default):
-    return range(max(default, _FUZZ_SEEDS))
+    n = max(default, _FUZZ_SEEDS)
+    return range(_FUZZ_BASE, _FUZZ_BASE + n)
 
 
 def _random_profile(rng):
