@@ -13,7 +13,10 @@ its own pytest process via GSDF_TPU_FUZZ_BASE/GSDF_TPU_FUZZ_SEEDS, and
 each gate's chunk stays well under the limit.
 
 Usage:
-    python examples/fuzz_marathon.py [--seeds 60] [--chunk 20]
+    python examples/fuzz_marathon.py [--seeds 60] [--chunk 20] [--base 0]
+
+--base offsets the whole sweep (seeds [base, base+seeds)) so successive
+marathons cover FRESH trees instead of re-proving the first 60.
 
 Exit code 0 = every chunk green. The reference's analogous discipline
 is its 10x-seeded randomized unary-op sweep (gsdf_test.go:233-283);
@@ -44,13 +47,15 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=60, help="seeds per gate")
     ap.add_argument("--chunk", type=int, default=20, help="seeds per process")
+    ap.add_argument("--base", type=int, default=0,
+                    help="first seed (sweep covers [base, base+seeds))")
     args = ap.parse_args()
 
     t0 = time.monotonic()
     failures = []
     for gate in GATES:
-        for base in range(0, args.seeds, args.chunk):
-            n = min(args.chunk, args.seeds - base)
+        for base in range(args.base, args.base + args.seeds, args.chunk):
+            n = min(args.chunk, args.base + args.seeds - base)
             env = dict(os.environ)
             env["GSDF_TPU_FUZZ_BASE"] = str(base)
             env["GSDF_TPU_FUZZ_SEEDS"] = str(n)
