@@ -84,11 +84,19 @@ def build_welded_render(tree, shape, a_size, v_size, t_size, device, parametric=
         index, active = mc_emit.classify(grid, res)
         n_active = jnp.sum(active.astype(jnp.int32))
         cube_id = mc_emit.compact_indices(active.reshape(-1), A)
-        # inverse: cube linear id -> active slot
+        # inverse: cube linear id -> active slot. Padding rows (cube_id
+        # == -1) must route to an OUT-OF-RANGE destination so mode="drop"
+        # discards them: maximum(cube_id, 0) sent every padding row to
+        # linear cube 0, clobbering ITS slot whenever cube 0 is active —
+        # which only happens when the surface touches the grid's min
+        # corner (with_bounds-cropped renders; found by fuzz seed 103 of
+        # test_cropped_bounds_paths_agree as 2^21-1 sentinel triangle
+        # indices). Interior scenes never read the clobbered entry, so
+        # outputs there are bit-identical before/after.
         cube_slot = jnp.full((nx * ny * nz,), 0, jnp.int32)
-        cube_slot = cube_slot.at[jnp.maximum(cube_id, 0)].set(
-            jnp.arange(A, dtype=jnp.int32), mode="drop"
-        )
+        cube_slot = cube_slot.at[
+            jnp.where(cube_id >= 0, cube_id, nx * ny * nz)
+        ].set(jnp.arange(A, dtype=jnp.int32), mode="drop")
 
         safe = jnp.maximum(cube_id, 0)
         ci = safe % nx
